@@ -1,0 +1,70 @@
+"""Command-line interface mirroring the reference programs' argv contract.
+
+    python -m dwt_tpu.cli encode input.pnm output.dwt [CAPACITY]
+    python -m dwt_tpu.cli decode input.dwt output.pnm [PIXELS]
+
+``-`` means stdin/stdout, as in the reference (bytes.h:26-28,42-44).
+Prints the same style of bit-count stats to stderr (encode.c:176,180,230).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _err(msg: str) -> int:
+    print(msg, file=sys.stderr)
+    return 1
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("encode", "decode"):
+        return _err("usage: dwt_tpu {encode,decode} INPUT OUTPUT [CAPACITY|PIXELS]")
+    mode, args = argv[0], argv[1:]
+    if len(args) not in (2, 3):
+        if mode == "encode":
+            return _err("usage: dwt_tpu encode input.pnm output.dwt [CAPACITY]")
+        return _err("usage: dwt_tpu decode input.dwt output.pnm [PIXELS]")
+
+    from .io import pnm
+
+    if mode == "encode":
+        from .codec import encoder
+        from .geometry import MAX_DIM, MIN_LEN
+
+        img, gray = pnm.read_pnm(args[0])
+        h, w = img.shape[:2]
+        if w > MAX_DIM or h > MAX_DIM or w < MIN_LEN or h < MIN_LEN:
+            return _err(f"unsupported image size {w}x{h}")
+        capacity = int(args[2]) if len(args) == 3 else 0
+        stream = encoder.encode(img, capacity=capacity)
+        if args[1] == "-":
+            sys.stdout.buffer.write(stream)
+            sys.stdout.buffer.flush()
+        else:
+            with open(args[1], "wb") as f:
+                f.write(stream)
+        bits = 8 * (len(stream) - 6)
+        print(f"{(len(stream)+512)//1024} KiB ({bits} payload bits) encoded",
+              file=sys.stderr)
+        return 0
+
+    from .codec import decoder
+
+    if args[0] == "-":
+        stream = sys.stdin.buffer.read()
+    else:
+        with open(args[0], "rb") as f:
+            stream = f.read()
+    pixels = int(args[2]) if len(args) == 3 else 0
+    try:
+        img, gray = decoder.decode(stream, pixels_max=pixels)
+    except ValueError as e:
+        return _err(str(e))
+    pnm.write_pnm(args[1], img, gray=gray)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

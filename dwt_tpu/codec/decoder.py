@@ -1,0 +1,108 @@
+"""Hybrid decoder: native bit parsing + TPU inverse pipeline.
+
+Stage 1 (host, C++): serial entropy parse of the stream into linearized
+coefficients (dwt_tpu/runtime/native.py — decode parsing is inherently
+sequential per stream; many-stream parallelism comes from the tiled
+container format, not from within one stream).
+
+Stage 2 (TPU, jitted): missing-plane midpoint bias (decode.c:50-58),
+inverse Hilbert scatter (one gather with the cached permutation), inverse
+multi-level lifting, inverse color transform, clamp.
+
+Truncation / reduced-resolution semantics follow decode.c:136-268: output
+size is the deepest level actually decoded; a stream that dies inside the
+root band is a hard error.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Pyramid, compute_pyramid
+from ..hilbert import level_of_position, reconstruction_perm
+from ..ops.color import ycocg_to_rgb
+from ..ops.lifting import cdf53_inv, dwt2d_inv
+from ..runtime import native
+
+
+def parse_header(stream: bytes) -> tuple:
+    if len(stream) < 6 or stream[0] != ord("W") or stream[1] not in (ord("5"), ord("6")):
+        raise ValueError("bad header")
+    gray = stream[1] == ord("5")
+    W = stream[2] + (stream[3] << 8) + 1
+    H = stream[4] + (stream[5] << 8) + 1
+    return W, H, gray
+
+
+@functools.lru_cache(maxsize=256)
+def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool):
+    """Jitted inverse pipeline for one (geometry, decoded-level) combination."""
+    pyr = compute_pyramid(width, height)
+    outW, outH = pyr.widths[out_levels], pyr.heights[out_levels]
+    n_out = pyr.pixels[out_levels]
+    C = channels
+
+    if out_levels == 0:
+        # Root-only decode: the reference still runs one inverse lifting pass
+        # at root size (decode.c:258 quirk, SURVEY §2.5).
+        @jax.jit
+        def tail(coeffs, missing):
+            x = coeffs[:, :n_out].T.reshape(outH, outW, C).astype(jnp.int32)
+            x = cdf53_inv(x, axis=0)
+            x = cdf53_inv(x, axis=1)
+            if not gray:
+                x = ycocg_to_rgb(x)
+            return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+        return tail
+
+    # The level chain of the reduced pyramid coincides with the original's
+    # lower levels, so scan order and lifting geometry are shared.
+    sub_pyr = compute_pyramid(outW, outH)
+    assert sub_pyr.levels == out_levels
+    inv_perm = jnp.asarray(reconstruction_perm(sub_pyr))
+    lvl_of = jnp.asarray(level_of_position(pyr)[:n_out])
+
+    @jax.jit
+    def tail(coeffs, missing):
+        # coeffs: (C, total>=n_out) int32 signed; missing: (C, 16)
+        lin = coeffs[:, :n_out]
+        # Midpoint bias for planes lost to truncation: push nonzero detail
+        # coefficients away from zero by 2^(missing-2).
+        m = jnp.take_along_axis(
+            missing,
+            jnp.broadcast_to(jnp.clip(lvl_of, 0, 15)[None, :], (C, n_out)),
+            axis=1,
+        ) - 2  # (C, n_out)
+        bias = jnp.where((m >= 0) & (lvl_of[None, :] >= 0),
+                         jnp.left_shift(1, jnp.clip(m, 0, 30)), 0).astype(jnp.int32)
+        lin = lin + jnp.sign(lin) * bias
+        x = lin[:, inv_perm].T.reshape(outH, outW, C)
+        x = dwt2d_inv(x, sub_pyr)
+        if not gray:
+            x = ycocg_to_rgb(x)
+        return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+    return tail
+
+
+def decode(stream: bytes, pixels_max: int = 0) -> tuple:
+    """Full decoder; returns (image uint8 (H, W, C), gray)."""
+    W, H, gray = parse_header(stream)
+    C = 1 if gray else 3
+    pyr = compute_pyramid(W, H)
+    levels_max = pyr.levels
+    if pixels_max > 0:
+        while levels_max > 0 and pyr.pixels[levels_max] > pixels_max:
+            levels_max -= 1
+
+    coeffs, missing, level, planes = native.entropy_decode(
+        stream[6:], C, pyr.levels, levels_max, pyr.pixels)
+    out_levels = level + 1
+    tail = _tail_fn(W, H, out_levels, C, gray)
+    img = np.asarray(tail(jnp.asarray(coeffs), jnp.asarray(missing)))
+    return img, gray

@@ -1,0 +1,520 @@
+"""Fully parallel TPU entropy encoder for the .dwt bitstream.
+
+The reference encoder is a bit-serial chain: bitplane loops feed a zero-run
+coder, runs feed an adaptive VLI coder whose single ``order`` state threads
+through the entire stream, and bits drip one at a time into bytes
+(encode.c:60-110, rle.h, vli.h, bits.h).  None of that survives contact
+with a TPU.  This module re-derives the identical bytes as a data-parallel
+pipeline (SURVEY §7 "key architectural insight"):
+
+1. **Token ranks, not state machines.**  At plane p a coefficient with
+   significance plane q (MSB index of |coeff|) is: a zero-run member when
+   q < p, newly significant (run-flush token + sign bit) when q == p, and a
+   refinement bit when q > p.  Every emitted token's *global position* in
+   the stream is therefore a pure function of magnitudes — computed with
+   per-chunk histograms, level-segmented prefix sums over the whole
+   linearized detail axis (channel-major so the coefficient axis rides the
+   128-wide vector lanes), and one tiny carry chain over the (channel,
+   level, plane) schedule grid.  Tokens scatter-write into a dense
+   rank-indexed buffer; no sequential coding state exists.
+
+2. **Adaptive VLI order as an associative scan.**  The per-stream ``order``
+   state (vli.h:67-84) is a chain over ~31 values.  Tokens are processed in
+   blocks: each block's state-transition map is built by a vectorized scan
+   over all possible entry states, block maps compose with
+   ``jax.lax.associative_scan`` (gather = function composition), and one
+   replay pass recovers the exact order at every token.
+
+3. **Bit packing as prefix-sum + scatter-add.**  Per-token bit lengths
+   prefix-sum into bit offsets; each token's LSB-first codeword splits into
+   <=3 u32 word contributions; disjoint-bit scatter-adds assemble the final
+   stream words.
+
+Byte-budget truncation (bytes.h:75-78) is a host-side slice: the reference's
+capacity mechanism emits exactly the prefix of the unconstrained stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Pyramid, compute_pyramid
+from ..hilbert import padded_layout
+from ..ops.color import rgb_to_ycocg
+from ..ops.lifting import dwt2d_fwd
+
+# Adaptive VLI order never exceeds ~log2(max run) + 2; 31 states cover every
+# stream with run lengths < 2^28 (images up to ~16K x 16K per stream).
+NSTATE = 31
+PMAX = 16  # bitplane count bound for 8-bit input
+BLOCK = 256  # token block length for the order-state scan
+
+
+def _ilog2_i32(x):
+    """Floor log2 for x>0 (int32); garbage for x<=0 — mask at call sites."""
+    return 31 - jax.lax.clz(x.astype(jnp.int32))
+
+
+def _excl_cumsum(x, axis=-1):
+    return jnp.cumsum(x, axis=axis) - x
+
+
+def _vli_k(v, s):
+    """Number of prefix zeros put_vli emits for value v at order s.
+
+    k = max(0, ilog2(v + 2^s) - s)  (derived from vli.h:73-78: after k
+    iterations the remaining value is v - (2^(s+k) - 2^s)).  int32-safe for
+    v < 2^28, s < 31.
+    """
+    u = v.astype(jnp.int32) + (jnp.int32(1) << s.astype(jnp.int32))
+    return jnp.maximum(_ilog2_i32(u) - s.astype(jnp.int32), 0)
+
+
+def _vli_next_state(v, s, is_vli):
+    k = _vli_k(v, s)
+    ns = jnp.minimum(jnp.maximum(s + k - 2, 0), NSTATE - 1)
+    return jnp.where(is_vli, ns, s).astype(s.dtype)
+
+
+ALIGN = 512  # lane alignment of scan-order segments (hilbert.padded_layout)
+
+
+class _Segs:
+    """Static lane-aligned level-chunk segmentation of the detail axis.
+
+    All segment starts/sizes are multiples of ALIGN, so every slice,
+    concat-broadcast and reduction below operates on aligned lane spans —
+    unaligned lane offsets are a ~100x throughput cliff on TPU.
+    Pad elements (valid == False) never enter any mask.
+    """
+
+    def __init__(self, pyr: Pyramid):
+        from ..hilbert import padded_layout
+
+        _, valid, sizes_p = padded_layout(pyr, ALIGN)
+        self.L = pyr.levels
+        self.root_pad = sizes_p[0]
+        self.sizes = sizes_p[1:]  # padded detail segment sizes
+        self.real = tuple(pyr.pixels[l + 1] - pyr.pixels[l] for l in range(self.L))
+        starts = []
+        o = 0
+        for s in self.sizes:
+            starts.append(o)
+            o += s
+        self.starts = tuple(starts)
+        self.n = o
+        self.valid_np = valid[self.root_pad:]
+        self.idx_local = jnp.asarray(
+            np.concatenate([np.arange(s, dtype=np.int32) for s in self.sizes]))
+
+    def valid(self):
+        return jnp.asarray(self.valid_np)
+
+    def bcast(self, small):
+        """(C, L) per-segment values -> (C, n) per-element, via static concat."""
+        return jnp.concatenate(
+            [jnp.broadcast_to(small[:, l : l + 1], (small.shape[0], self.sizes[l]))
+             for l in range(self.L)], axis=1)
+
+    def reduce_sum(self, x):
+        """(C, n) -> (C, L) per-segment sums via static aligned slices."""
+        return jnp.stack(
+            [x[:, self.starts[l] : self.starts[l] + self.sizes[l]].sum(axis=1)
+             for l in range(self.L)], axis=1)
+
+    def reduce_max(self, x):
+        return jnp.stack(
+            [x[:, self.starts[l] : self.starts[l] + self.sizes[l]].max(axis=1)
+             for l in range(self.L)], axis=1)
+
+    def excl_cumsum(self, x):
+        """Segment-wise exclusive cumsum along the element axis."""
+        c = _excl_cumsum(x, axis=-1)
+        bases = jnp.stack([c[:, self.starts[l]] for l in range(self.L)], axis=1)
+        return c - self.bcast(bases)
+
+    def prev_monotone(self, mask, val, seg_base):
+        """Per element: `val` at the latest earlier masked element of the
+        same segment, or -1.  Requires `val` nondecreasing within each
+        segment at masked positions (true for prefix counts).  Implemented
+        as one exclusive cummax of val + per-segment base offsets.
+        """
+        key = jnp.where(mask, seg_base + val, -1)
+        m = jax.lax.cummax(key, axis=1)
+        ex = jnp.concatenate(
+            [jnp.full_like(m[:, :1], -1), m[:, :-1]], axis=1)
+        has = ex >= seg_base
+        return has, jnp.where(has, ex - seg_base, 0)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: transform + statistics (token counts, schedule, carry chain)
+# ---------------------------------------------------------------------------
+
+def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
+    total, pix0 = pyr.total, pyr.pixels[0]
+    L, C = pyr.levels, channels
+    segs = _Segs(pyr)
+    data = img.astype(jnp.int32)
+    if not gray:
+        data = rgb_to_ycocg(data)
+    coeff = dwt2d_fwd(data, pyr)
+    lin = coeff.reshape(total, C)[perm].T  # (C, padded total), channel-major
+
+    root = lin[:, :pix0]
+    det = lin[:, segs.root_pad :]
+    valid = segs.valid()[None, :]
+    mag = jnp.abs(det)
+    q = jnp.where((mag > 0) & valid, _ilog2_i32(mag), -1)  # (C, n)
+    q = jnp.where(valid, q, -1)
+
+    planes = 1 + jnp.max(jnp.where(valid, q, -1), axis=1)  # (C,)
+    planes_max = jnp.max(planes)
+
+    idx = jnp.broadcast_to(segs.idx_local[None, :], q.shape)
+    nS_list, nZ_list, trailZ_list = [], [], []
+    for p in range(PMAX):
+        maskS = (q == p) & valid
+        maskZ = (q < p) & valid
+        s_cnt = segs.reduce_sum(maskS.astype(jnp.int32))
+        z_cnt = segs.reduce_sum(maskZ.astype(jnp.int32))
+        lastS = segs.reduce_max(jnp.where(maskS, idx, -1))
+        z_upto = segs.reduce_sum(
+            (maskZ & (idx <= segs.bcast(lastS))).astype(jnp.int32))
+        nS_list.append(s_cnt)
+        nZ_list.append(z_cnt)
+        trailZ_list.append(z_cnt - z_upto)
+    nS = jnp.stack(nS_list, axis=2)        # (C, L, PMAX)
+    nZ = jnp.stack(nZ_list, axis=2)
+    trailZ = jnp.stack(trailZ_list, axis=2)
+    nums = jnp.asarray(segs.real, jnp.int32)
+    nRef = nums[None, :, None] - nZ - nS
+
+    # --- schedule order over the (C, L, PMAX) step grid -------------------
+    c_ix = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+    l_ix = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    p_ix = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
+    sec = (c_ix > 0).astype(jnp.int32)
+    layers = jnp.where(sec == 0, planes_max - 2 - p_ix + l_ix,
+                       planes_max - 1 - p_ix + l_ix)
+    valid = jnp.broadcast_to(p_ix < planes[:, None, None], (C, L, PMAX))
+    key = ((layers + 1) << 16) | (sec << 12) | (l_ix << 6) | c_ix
+    key = jnp.where(valid, key, jnp.int32(2**30)).reshape(-1)
+    order = jnp.argsort(key, stable=True)  # schedule order of flat steps
+
+    nS_s = nS.reshape(-1)[order]
+    nZ_s = nZ.reshape(-1)[order]
+    trailZ_s = trailZ.reshape(-1)[order]
+    nRef_s = nRef.reshape(-1)[order]
+    valid_s = valid.reshape(-1)[order]
+
+    # --- zero-run carry chain over schedule steps (rle.h cnt threading) ---
+    # When planes_max == 0 the degenerate pre-step (plane index -1,
+    # encode.c:190-194) contributes chunk-0's positions as pure zeros.
+    carry0 = jnp.where(planes_max == 0, jnp.int32(segs.real[0]), 0)
+
+    def step(carry, xs):
+        v, s_cnt, z_cnt, t_z, r_cnt = xs
+        refrun_val = jnp.where(s_cnt > 0, t_z, carry + z_cnt)
+        refrun_ok = v & (r_cnt > 0) & (refrun_val > 0)
+        out = jnp.where(r_cnt > 0, 0,
+                        jnp.where(s_cnt > 0, t_z, carry + z_cnt))
+        nxt = jnp.where(v, out, carry).astype(jnp.int32)
+        return nxt, (carry, refrun_val.astype(jnp.int32), refrun_ok)
+
+    carry_end, (carry_in_s, refrun_val_s, refrun_ok_s) = jax.lax.scan(
+        step, carry0, (valid_s, nS_s, nZ_s, trailZ_s, nRef_s))
+
+    # --- token counts / bases ---------------------------------------------
+    root_max = jnp.max(jnp.abs(root), axis=1)
+    root_cnt = jnp.where(root_max > 0,
+                         1 + _ilog2_i32(jnp.maximum(root_max, 1)), 0)
+    nnz_root = jnp.sum(root != 0, axis=1).astype(jnp.int32)
+    root_tokens = 1 + jnp.where(root_cnt > 0, pix0 + nnz_root, 0)  # (C,)
+    root_base = _excl_cumsum(root_tokens)
+    planes_base = jnp.sum(root_tokens)
+    steps_base0 = planes_base + C
+
+    cnt_s = jnp.where(valid_s, 2 * nS_s + nRef_s + refrun_ok_s.astype(jnp.int32), 0)
+    base_s = steps_base0 + _excl_cumsum(cnt_s)
+    T = steps_base0 + jnp.sum(cnt_s) + 1  # +1 flush token
+
+    S = C * L * PMAX
+
+    def unsort(x):
+        return jnp.zeros(S, x.dtype).at[order].set(x).reshape(C, L, PMAX)
+
+    stats = dict(
+        planes=planes, planes_max=planes_max,
+        nS=nS, root_cnt=root_cnt, root_base=root_base,
+        planes_base=planes_base,
+        step_base=unsort(base_s),
+        carry_in=unsort(carry_in_s),
+        refrun_val=unsort(refrun_val_s),
+        refrun_ok=unsort(refrun_ok_s),
+        carry_end=carry_end,
+        T=T,
+    )
+    return lin, stats
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: token build + VLI order scan + bit packing
+# ---------------------------------------------------------------------------
+
+def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
+    """Scatter every token (value, rawbits, is_vli) into rank order."""
+    total, pix0 = pyr.total, pyr.pixels[0]
+    L, C = pyr.levels, channels
+    segs = _Segs(pyr)
+    DUMP = padded_T  # masked scatters land in a spare slot
+
+    tok_val = jnp.zeros(padded_T + 1, jnp.int32)
+    tok_raw = jnp.zeros(padded_T + 1, jnp.int32)  # raw bit count; 0 + !vli = pad
+    tok_vli = jnp.zeros(padded_T + 1, jnp.bool_)
+
+    root = lin[:, :pix0]
+    det = lin[:, segs.root_pad :]
+    valid = segs.valid()[None, :]
+    mag = jnp.abs(det)
+    sgn = (det < 0).astype(jnp.int32)
+    q = jnp.where((mag > 0) & valid, _ilog2_i32(mag), -1)
+    q = jnp.where(valid, q, -1)
+
+    # --- root band tokens (encode.c:97-110) -------------------------------
+    root_cnt, root_base = stats["root_cnt"], stats["root_base"]
+    nnzpfx = _excl_cumsum((root != 0).astype(jnp.int32), axis=1)  # (C, pix0)
+    i_ix = jnp.arange(pix0, dtype=jnp.int32)[None, :]
+    tok_val = tok_val.at[root_base].set(root_cnt)
+    tok_vli = tok_vli.at[root_base].set(True)
+    r_rank = root_base[:, None] + 1 + i_ix + nnzpfx
+    r_ok = root_cnt[:, None] > 0
+    r_rank_m = jnp.where(r_ok, r_rank, DUMP).reshape(-1)
+    tok_val = tok_val.at[r_rank_m].set(jnp.abs(root).reshape(-1))
+    tok_raw = tok_raw.at[r_rank_m].set(
+        jnp.broadcast_to(root_cnt[:, None], root.shape).reshape(-1))
+    s_ok = r_ok & (root != 0)
+    s_rank = jnp.where(s_ok, r_rank + 1, DUMP).reshape(-1)
+    tok_val = tok_val.at[s_rank].set((root < 0).astype(jnp.int32).reshape(-1))
+    tok_raw = tok_raw.at[s_rank].set(1)
+
+    # --- per-channel plane counts (encode.c:181-182) ----------------------
+    pr = stats["planes_base"] + jnp.arange(C, dtype=jnp.int32)
+    tok_val = tok_val.at[pr].set(stats["planes"])
+    tok_vli = tok_vli.at[pr].set(True)
+
+    # --- bitplane tokens ---------------------------------------------------
+    step_base = stats["step_base"]  # (C, L, PMAX)
+    carry_in = stats["carry_in"]
+    nS = stats["nS"]
+    refrun_ok = stats["refrun_ok"].astype(jnp.int32)
+
+    n = segs.n
+    # Per-segment base offsets for the monotone prev-value cummax.  zpfx
+    # stays below the (pow2-rounded) max segment size; seg bases keep
+    # running maxima from leaking across segments.  int32 suffices while
+    # (L+1) * BIG < 2^31 (images up to ~8K); int64 beyond.
+    big = 1 << max(s.bit_length() for s in segs.sizes)
+    base_dtype = jnp.int32 if (L + 1) * big < 2**31 else jnp.int64
+    seg_base = segs.bcast(jnp.broadcast_to(
+        (jnp.arange(L, dtype=base_dtype) * big + 1)[None, :], (C, L)))
+
+    # Accumulated per-coefficient S-token fields (each coefficient is newly
+    # significant at exactly one plane).
+    run_acc = jnp.zeros((C, n), jnp.int32)
+    srank_acc = jnp.full((C, n), DUMP, jnp.int32)
+
+    for p in range(PMAX):
+        maskS = (q == p) & valid
+        maskZ = (q < p) & valid
+        maskR = (q > p) & valid
+        zpfx = segs.excl_cumsum(maskZ.astype(jnp.int32))
+        ks = segs.excl_cumsum(maskS.astype(jnp.int32))
+        kr = segs.excl_cumsum(maskR.astype(jnp.int32))
+        has_prev, prev_zpfx = segs.prev_monotone(
+            maskS, zpfx.astype(base_dtype), seg_base)
+        cin = segs.bcast(carry_in[:, :, p])
+        runval = zpfx - jnp.where(has_prev, prev_zpfx.astype(jnp.int32), 0) \
+            + jnp.where(has_prev, 0, cin)
+        base = segs.bcast(step_base[:, :, p])
+        run_acc = jnp.where(maskS, runval, run_acc)
+        srank_acc = jnp.where(maskS, base + 2 * ks, srank_acc)
+        # refinement tokens: one masked scatter per plane
+        rbase = base + segs.bcast(2 * nS[:, :, p] + refrun_ok[:, :, p])
+        rankR = jnp.where(maskR, rbase + kr, DUMP).reshape(-1)
+        tok_val = tok_val.at[rankR].set(((mag >> p) & 1).reshape(-1))
+        tok_raw = tok_raw.at[rankR].set(1)
+
+    # significance run + sign tokens: one scatter each over all coefficients
+    sr = srank_acc.reshape(-1)
+    tok_val = tok_val.at[sr].set(run_acc.reshape(-1))
+    tok_vli = tok_vli.at[sr].set(True)
+    gr = jnp.where(srank_acc != DUMP, srank_acc + 1, DUMP).reshape(-1)
+    tok_val = tok_val.at[gr].set(sgn.reshape(-1))
+    tok_raw = tok_raw.at[gr].set(1)
+
+    # ref-pass leading run tokens: one per step where pending zeros > 0
+    rr_rank = jnp.where(stats["refrun_ok"], step_base + 2 * nS, DUMP).reshape(-1)
+    tok_val = tok_val.at[rr_rank].set(stats["refrun_val"].reshape(-1))
+    tok_vli = tok_vli.at[rr_rank].set(True)
+
+    # final flush token (rle_flush, encode.c:221)
+    tok_val = tok_val.at[stats["T"] - 1].set(stats["carry_end"])
+    tok_vli = tok_vli.at[stats["T"] - 1].set(True)
+
+    return tok_val[:padded_T], tok_raw[:padded_T], tok_vli[:padded_T]
+
+
+def _vli_orders(tok_val, tok_vli, padded_T: int):
+    """Exact VLI order state at every token via blocked associative scan."""
+    nblk = padded_T // BLOCK
+    v_b = tok_val.reshape(nblk, BLOCK).T  # (BLOCK, nblk) scan-major
+    f_b = tok_vli.reshape(nblk, BLOCK).T
+
+    # Pass A: per-block transition map for all NSTATE possible entry states.
+    init = jnp.broadcast_to(jnp.arange(NSTATE, dtype=jnp.int32)[None, :],
+                            (nblk, NSTATE))
+
+    def stepA(s, xs):
+        v, f = xs  # (nblk,)
+        return _vli_next_state(v[:, None], s, f[:, None]), None
+
+    maps, _ = jax.lax.scan(stepA, init, (v_b, f_b))  # (nblk, NSTATE)
+
+    # Pass B: compose maps across blocks; minc[i] maps an order entering
+    # block 0 to the order exiting block i.  Block i's true entry state is
+    # the [0, i) composition applied to the stream-initial order 0.
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    minc = jax.lax.associative_scan(compose, maps, axis=0)
+    entry = jnp.concatenate([jnp.zeros((1,), jnp.int32), minc[:-1, 0]])
+
+    # Pass C: replay with the true entry state, record order at each token.
+    def stepC(s, xs):
+        v, f = xs
+        return _vli_next_state(v, s, f), s
+
+    _, orders = jax.lax.scan(stepC, entry, (v_b, f_b))  # (BLOCK, nblk)
+    return orders.T.reshape(padded_T)
+
+
+def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
+    """Token codewords -> LSB-first packed u32 words via prefix-sum + scatter."""
+    s = orders
+    k = jnp.where(tok_vli, _vli_k(tok_val, s), 0)
+    nbits = jnp.where(tok_vli, 2 * k + s + 1, tok_raw)
+    v64 = tok_val.astype(jnp.int64)
+    s64, k64 = s.astype(jnp.int64), k.astype(jnp.int64)
+    payload = v64 - ((jnp.int64(1) << (s64 + k64)) - (jnp.int64(1) << s64))
+    word_vli = (jnp.int64(1) << k64) | (payload << (k64 + 1))
+    tw = jnp.where(tok_vli, word_vli, v64).astype(jnp.uint64)
+
+    off = _excl_cumsum(nbits.astype(jnp.int64), axis=0)
+    total_bits = jnp.sum(nbits.astype(jnp.int64))
+    widx = (off >> 5).astype(jnp.int32)
+    sh = (off & 31).astype(jnp.uint64)
+    M32 = jnp.uint64(0xFFFFFFFF)
+    lo = tw & M32
+    hi = tw >> jnp.uint64(32)
+    # sh==0: x >> 32 is 0 in uint64 — exactly the wanted carry behavior.
+    c0 = (lo << sh) & M32
+    c1 = ((lo >> (jnp.uint64(32) - sh)) | (hi << sh)) & M32
+    c2 = (hi >> (jnp.uint64(32) - sh)) & M32
+    nwords = 2 * padded_T + 4
+    words = jnp.zeros(nwords, jnp.uint32)
+    words = words.at[widx].add(c0.astype(jnp.uint32))
+    words = words.at[widx + 1].add(c1.astype(jnp.uint32))
+    words = words.at[widx + 2].add(c2.astype(jnp.uint32))
+    return words, total_bits
+
+
+# ---------------------------------------------------------------------------
+# Public encoder
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _bucket(t: int) -> int:
+    """Pad token counts to coarse size buckets (powers of two and 0.75x
+    powers of two) so each image geometry compiles at most a few stage-2
+    variants regardless of content."""
+    t = max(t, 4 * BLOCK)
+    b = 1 << (t - 1).bit_length()
+    if 3 * b // 4 >= t:
+        b = 3 * b // 4
+    return _round_up(b, BLOCK)
+
+
+class Encoder:
+    """Caches jitted stages per (geometry, channels); reusable across images."""
+
+    def __init__(self, width: int, height: int, channels: int):
+        self.pyr = compute_pyramid(width, height)
+        self.channels = channels
+        self.gray = channels == 1
+        perm_np, _, _ = padded_layout(self.pyr, ALIGN)
+        self._perm = jax.device_put(jnp.asarray(perm_np))
+        pyr, C, gray = self.pyr, channels, self.gray
+
+        @jax.jit
+        def stage1(img, perm):
+            return _transform_and_stats(img, pyr, C, gray, perm)
+
+        self._stage1 = stage1
+        self._stage2 = {}
+
+    def _get_stage2(self, padded_T: int):
+        fn = self._stage2.get(padded_T)
+        if fn is None:
+            pyr, C = self.pyr, self.channels
+
+            @jax.jit
+            def stage2(lin, stats):
+                tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
+                orders = _vli_orders(tv, tf, padded_T)
+                return _pack_bits(tv, tr, tf, orders, padded_T)
+
+            self._stage2[padded_T] = fn = stage2
+        return fn
+
+    def header(self) -> bytes:
+        w, h = self.pyr.width, self.pyr.height
+        return bytes([
+            ord("W"), ord("5") if self.gray else ord("6"),
+            (w - 1) & 255, ((w - 1) >> 8) & 255,
+            (h - 1) & 255, ((h - 1) >> 8) & 255,
+        ])
+
+    def encode(self, img: np.ndarray, capacity: int = 0) -> bytes:
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None]
+        lin, stats = self._stage1(jnp.asarray(img), self._perm)
+        T = int(stats["T"])
+        words, total_bits = self._get_stage2(_bucket(T))(lin, stats)
+        nbytes = (int(total_bits) + 7) // 8
+        payload = np.asarray(words).tobytes()[:nbytes]
+        stream = self.header() + payload
+        if capacity > 0:
+            stream = stream[:capacity]
+        return stream
+
+
+@functools.lru_cache(maxsize=64)
+def get_encoder(width: int, height: int, channels: int) -> Encoder:
+    return Encoder(width, height, channels)
+
+
+def encode(img: np.ndarray, gray: bool | None = None, capacity: int = 0) -> bytes:
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    return get_encoder(w, h, c).encode(img, capacity)

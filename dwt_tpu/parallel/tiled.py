@@ -1,0 +1,259 @@
+"""Multi-chip scaling: sharded global DWT with halo exchange + tile modes.
+
+The reference is strictly single-threaded; scaling an image codec across a
+TPU slice is this framework's own design (SURVEY §2.1 mapping table):
+
+* **Row-sharded global transform** (`halo_dwt2d_fwd`): the full-image DWT,
+  bit-exact vs the single-chip transform, computed with the image sharded
+  over mesh rows.  Key idea: keep every level in *interleaved (in-place)
+  layout* — the active samples of level t live on the dyadic grid (row ≡ 0
+  mod 2^t), which stays evenly distributed across a row-sharded mesh, so no
+  per-level redistribution is needed.  Each level's column lifting
+  exchanges exactly one boundary row per direction per lifting step via
+  ``lax.ppermute`` (the codec analog of context-parallel ring exchange).
+  Once the stride no longer tiles the per-device block evenly, the
+  remaining active grid is tiny; it is ``all_gather``-ed and finished
+  redundantly on every device (replicated coarse tail).
+
+* **Tile-parallel encode** (dwt_tpu/codec/tiled.py): independent per-tile
+  streams — data-parallelism over tiles; the container format carries a
+  per-tile length table and any prefix of any tile remains decodable.
+
+* **Global truncation allocation** (`allocate_budget`): the byte-budget
+  analog of the reference's CAPACITY mechanism across many tiles — rank
+  (tile, layer) stream segments by the shared progressive schedule and cut
+  all tiles at the deepest globally-affordable layer (all_gather of
+  per-tile per-layer byte counts; prefix-sum; waterline search).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import Pyramid, compute_pyramid
+from ..ops.lifting import cdf53_fwd, cdf53_inv, dwt2d_fwd
+
+
+def _tdiv(a, d):
+    return jax.lax.div(a, jnp.asarray(d, a.dtype))
+
+
+def _shard_map(f, **kw):
+    """shard_map with the replication checker disabled (collectives like
+    all_gather produce replicated outputs the VMA inference cannot always
+    prove), across jax versions."""
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax import shard_map
+    for flag in ("check_vma", "check_rep"):
+        try:
+            return shard_map(f, **kw, **{flag: False})
+        except TypeError:
+            continue
+    return shard_map(f, **kw)
+
+
+def _lift_fwd_strided(x, axis: int, stride: int, n_active: int):
+    """In-place (interleaved) forward lifting along `axis` on the dyadic
+    grid with `stride`; positions i*stride for i < n_active participate.
+
+    Equivalent to cdf53_fwd on the gathered active samples, but leaves
+    results at their original (interleaved) positions: evens keep their
+    spots, odds hold the high-pass values.  Bit-exact per SURVEY §2.3.
+    """
+    xm = jnp.moveaxis(x, axis, 0)
+    ev = xm[:: 2 * stride]
+    od = xm[stride :: 2 * stride]
+    N = n_active
+    ne, no = ev.shape[0], od.shape[0]
+    right = ev[1:] if ne > no else jnp.concatenate([ev[1:], ev[-1:]], axis=0)
+    d = od - _tdiv(ev[:no] + right, 2)
+    left = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    upd = _tdiv(left + d, 4)
+    nupd = ne if N % 2 == 0 else ne - 1
+    s = jnp.concatenate([ev[:nupd] + upd[:nupd], ev[nupd:]], axis=0)
+    xm = xm.at[:: 2 * stride].set(s)
+    xm = xm.at[stride :: 2 * stride].set(d)
+    return jnp.moveaxis(xm, 0, axis)
+
+
+def interleaved_to_pyramid_perm(pyr: Pyramid) -> np.ndarray:
+    """Gather indices mapping the in-place (interleaved) transform layout
+    to the standard deinterleaved pyramid layout, flat over (H, W).
+
+    After L in-place levels, the level-t low band lives on the dyadic grid
+    (row, col ≡ 0 mod 2^t).  The deinterleaved pyramid places the level-l
+    image in the top-left (heights[l], widths[l]) corner.  Computed once on
+    host per geometry and composed with the Hilbert linearization so the
+    device-side cost stays a single gather.
+    """
+    H, W = pyr.height, pyr.width
+    # src[r, c] = original flat index whose value belongs at pyramid (r, c).
+    src = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    for l in range(pyr.levels, 0, -1):
+        h, w = pyr.heights[l], pyr.widths[l]
+        sub = src[:h, :w]
+        # Deinterleave rows then cols of this level's region: evens first.
+        sub = np.concatenate([sub[:, 0::2], sub[:, 1::2]], axis=1)
+        sub = np.concatenate([sub[0::2], sub[1::2]], axis=0)
+        src[:h, :w] = sub
+    return src.reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _halo_plan(pyr: Pyramid, n_dev: int):
+    """Which transform steps run with halo exchange vs gathered tail.
+
+    Transform step t (t = 0 .. levels-1) lifts the dyadic grid of stride
+    2^t.  The halo path needs the per-device active row count R/2^t to be
+    even so parity and counts are uniform across devices.
+    """
+    H = pyr.height
+    if H % n_dev:
+        return 0  # no even row split: fully gathered (correctness fallback)
+    R = H // n_dev
+    t = 0
+    while t < pyr.levels and R % (2 << t) == 0:
+        t += 1
+    return t
+
+
+def halo_dwt2d_fwd(x, mesh: Mesh, pyr: Pyramid, axis_name: str = "y"):
+    """Forward multi-level 2-D DWT of a row-sharded image.
+
+    ``x``: (H, W, C) int32, sharded P(axis_name, None, None) over `mesh`.
+    Returns (fine, coarse): ``fine`` is the interleaved-layout sharded
+    buffer holding all halo-level results; ``coarse`` is the replicated
+    deinterleaved transform of the remaining levels' LL image (empty-level
+    case: coarse is the full pyramid result and fine is ignored).
+    Reassemble with :func:`assemble_pyramid`.
+    """
+    n_dev = mesh.shape[axis_name]
+    n_halo = _halo_plan(pyr, n_dev)
+    L = pyr.levels
+    H, W, C = pyr.height, pyr.width, x.shape[-1]
+    R = H // n_dev if H % n_dev == 0 else None
+
+    def shard_fn(xb):
+        idx = jax.lax.axis_index(axis_name)
+        out = xb
+        for t in range(n_halo):
+            s = 1 << t
+            h_act, w_act = pyr.heights[L - t], pyr.widths[L - t]
+            # Row pass: local, on active rows, strided active columns.
+            rows = out[::s]
+            rows = _lift_fwd_strided(rows, 1, s, w_act)
+            out = out.at[::s].set(rows)
+            # Column pass with halo exchange, on active columns only (the
+            # in-between columns hold finer-level details and must not be
+            # touched).  Active rows per device: R/s (even); global count
+            # h_act = n_dev * R/s (even).
+            ev = out[:: 2 * s, ::s]
+            od = out[s :: 2 * s, ::s]
+            # predict: right neighbor of each odd row = next even row;
+            # the last odd on each device needs the NEXT device's first even.
+            first_ev = ev[:1]
+            recv_next = jax.lax.ppermute(
+                first_ev, axis_name,
+                [(i + 1, i) for i in range(n_dev - 1)])
+            # Global right edge (device n_dev-1): clamp to own last even
+            # (cdf53.h:15-17 even-N rule; h_act is even on the halo path).
+            right_tail = jnp.where(idx == n_dev - 1, ev[-1:], recv_next)
+            right = jnp.concatenate([ev[1:], right_tail], axis=0)
+            d = od - _tdiv(ev + right, 2)
+            # update: left neighbor of each even row = previous odd row;
+            # the first even needs the PREVIOUS device's last odd (already
+            # predicted).  Global top edge (device 0): clamp to own first
+            # odd (cdf53.h:19-20 s0 rule).
+            last_od = d[-1:]
+            recv_prev = jax.lax.ppermute(
+                last_od, axis_name,
+                [(i, i + 1) for i in range(n_dev - 1)])
+            left_head = jnp.where(idx == 0, d[:1], recv_prev)
+            left = jnp.concatenate([left_head, d[:-1]], axis=0)
+            sc = ev + _tdiv(left + d, 4)
+            out = out.at[:: 2 * s, ::s].set(sc)
+            out = out.at[s :: 2 * s, ::s].set(d)
+        # Gather the coarse active grid and finish redundantly.
+        S = 1 << n_halo
+        coarse_loc = out[::S, :: S][:, : pyr.widths[L - n_halo]]
+        coarse = jax.lax.all_gather(coarse_loc, axis_name, tiled=True)
+        coarse = coarse[: pyr.heights[L - n_halo]]
+        if n_halo < L:
+            sub_pyr = compute_pyramid(pyr.widths[L - n_halo],
+                                      pyr.heights[L - n_halo])
+            coarse = dwt2d_fwd(coarse, sub_pyr)
+        return out, coarse
+
+    fn = _shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=(P(axis_name, None, None), P(None, None, None)),
+    )
+    return fn(x)
+
+
+def assemble_pyramid(fine, coarse, pyr: Pyramid, n_dev: int):
+    """Recombine halo-level (interleaved, sharded) and coarse (pyramid,
+    replicated) results into the standard deinterleaved pyramid layout.
+
+    Host/test helper — the production encode path composes this mapping
+    into the linearization gather instead of materializing it.
+    """
+    n_halo = _halo_plan(pyr, n_dev)
+    L = pyr.levels
+    out = np.asarray(fine).copy()
+    S = 1 << n_halo
+    hc, wc = pyr.heights[L - n_halo], pyr.widths[L - n_halo]
+    # Place the coarse pyramid back onto the dyadic grid positions.
+    out[::S, ::S][:hc, :wc] = np.asarray(coarse)
+    # The fine buffer now holds a fully interleaved-transform image whose
+    # deinterleaved form is the reference pyramid — except the coarse part
+    # is already deinterleaved.  Build the permutation for the fine levels
+    # only: run the interleave->pyramid map but stop at level L - n_halo.
+    H, W = pyr.height, pyr.width
+    src = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    for l in range(L, L - n_halo, -1):
+        h, w = pyr.heights[l], pyr.widths[l]
+        sub = src[:h, :w]
+        sub = np.concatenate([sub[:, 0::2], sub[:, 1::2]], axis=1)
+        sub = np.concatenate([sub[0::2], sub[1::2]], axis=0)
+        src[:h, :w] = sub
+    flat = out.reshape(H * W, -1)
+    res = flat[src.reshape(-1)].reshape(out.shape)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Global truncation allocation across tiles
+# ---------------------------------------------------------------------------
+
+def allocate_budget(layer_bytes, budget: int):
+    """Cut a fleet of tile streams to a global byte budget.
+
+    ``layer_bytes``: (n_tiles, n_layers) int32 — bytes each tile adds at
+    each quality layer of the shared progressive schedule (layer 0 =
+    header+root).  Returns (n_tiles,) byte lengths: every tile keeps its
+    stream prefix through the deepest layer k such that the total over all
+    tiles of layers <= k fits the budget, then the remainder is handed out
+    layer-greedily tile-by-tile (matching the reference's behavior of
+    truncating mid-layer, bytes.h:75-78, but coordinated globally).
+    """
+    per_layer = jnp.sum(layer_bytes, axis=0)          # (n_layers,)
+    cum = jnp.cumsum(per_layer)
+    k = jnp.sum((cum <= budget).astype(jnp.int32))    # full layers afforded
+    nl = layer_bytes.shape[1]
+    taken = jnp.where(jnp.arange(nl) < k, layer_bytes, 0).sum(axis=1)
+    # distribute the remainder within layer k in tile order
+    rem = budget - jnp.where(k > 0, cum[jnp.maximum(k - 1, 0)], 0)
+    rem = jnp.maximum(rem, 0)
+    nxt = jnp.where(jnp.arange(nl)[None, :] == k, layer_bytes, 0).sum(axis=1)
+    pfx = jnp.cumsum(nxt) - nxt
+    extra = jnp.clip(rem - pfx, 0, nxt)
+    return (taken + extra).astype(jnp.int32)

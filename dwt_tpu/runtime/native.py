@@ -1,0 +1,75 @@
+"""Build + ctypes bindings for the native (C++) runtime components.
+
+The shared library is compiled on demand (and cached) from ``native/``;
+no external build system or pybind11 required — plain g++ + ctypes, per
+the framework's zero-dependency policy.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent.parent
+_SRC = _ROOT / "native"
+_LIB = None
+
+
+def _build_lib() -> Path:
+    cache = Path(os.environ.get("DWT_NATIVE_CACHE", tempfile.gettempdir())) / "dwt_native"
+    cache.mkdir(parents=True, exist_ok=True)
+    sources = sorted(_SRC.glob("*.cpp"))
+    out = cache / "libdwt_native.so"
+    newest = max(s.stat().st_mtime for s in sources)
+    if not out.exists() or out.stat().st_mtime < newest:
+        tmp = out.with_suffix(".so.tmp")
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+               *map(str, sources), "-o", str(tmp)]
+        subprocess.run(cmd, check=True, capture_output=True)
+        tmp.replace(out)
+    return out
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(str(_build_lib()))
+        lib.dwt_entropy_decode.restype = ctypes.c_int
+        lib.dwt_entropy_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_int32),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def entropy_decode(stream: bytes, channels: int, levels: int, levels_max: int,
+                   pixels) -> tuple:
+    """Run the native bit parser.
+
+    Returns (coeffs (C, total) int32 signed, missing (C, 16), level, planes).
+    Raises ValueError on hard error (unreadable root/planes — the reference
+    exits with no output there).
+    """
+    lib = get_lib()
+    total = int(pixels[levels])
+    out = np.zeros((channels, total), np.int32)
+    missing = np.zeros((channels, 16), np.int32)
+    planes = np.zeros(channels, np.int32)
+    level = ctypes.c_int32(-1)
+    pix = (ctypes.c_int64 * (levels + 1))(*[int(p) for p in pixels[: levels + 1]])
+    rc = lib.dwt_entropy_decode(
+        stream, len(stream), channels, levels, levels_max, pix,
+        out, missing, ctypes.byref(level), planes)
+    if rc != 0:
+        raise ValueError("stream too short for root band")
+    return out, missing, int(level.value), planes

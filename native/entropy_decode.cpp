@@ -1,0 +1,280 @@
+// Native entropy decoder for the .dwt bitstream.
+//
+// Decode-side bit parsing is inherently serial (every codeword's position
+// depends on all previous ones), so the TPU framework runs it as a native
+// host stage: this C++ parser emits linearized wavelet coefficients, and
+// the inverse pipeline (bias, Hilbert scatter, inverse lifting, color)
+// runs as jitted JAX ops on the TPU (dwt_tpu/codec/decoder.py).
+//
+// Behavioral contract mirrors the reference decoder exactly
+// (decode.c:67-243, rle.h, vli.h, bits.h), including graceful EOF at any
+// point (truncated streams), sticky error propagation, reduced-resolution
+// bail (decode.c:213-214) and per-(channel, level) missing-plane counts.
+// Unlike the reference's one-bit-at-a-time FILE* stack, this parser uses a
+// 64-bit accumulator refilled straight from the mapped buffer; a run
+// fast-path consumes pending zero-runs without per-bit work.
+//
+// Built as a shared library; called from Python via ctypes
+// (dwt_tpu/runtime/native.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kSgnBit = 31;
+constexpr int kSigBit = 30;
+constexpr int kRefBit = 29;
+constexpr uint32_t kSgnMask = 1u << kSgnBit;
+constexpr uint32_t kSigMask = 1u << kSigBit;
+constexpr uint32_t kRefMask = 1u << kRefBit;
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t pos = 0;     // next byte to load
+  uint64_t acc = 0;    // LSB-first bit accumulator
+  int navail = 0;      // bits in acc
+  bool fail = false;
+
+  void refill() {
+    while (navail <= 56 && pos < nbytes) {
+      acc |= static_cast<uint64_t>(data[pos++]) << navail;
+      navail += 8;
+    }
+  }
+
+  // Returns 0/1, or -1 on EOF (sticky).
+  inline int get_bit() {
+    if (fail) return -1;
+    if (navail == 0) {
+      refill();
+      if (navail == 0) {
+        fail = true;
+        return -1;
+      }
+    }
+    int b = static_cast<int>(acc & 1);
+    acc >>= 1;
+    navail -= 1;
+    return b;
+  }
+
+  // LSB-first n-bit read; -1 on EOF.
+  inline int64_t read_bits(int n) {
+    if (fail) return -1;
+    if (navail < n) refill();
+    if (navail >= n) {
+      int64_t v = static_cast<int64_t>(acc & ((n == 64) ? ~0ull : ((1ull << n) - 1)));
+      acc >>= n;
+      navail -= n;
+      return v;
+    }
+    // Slow path across the tail.
+    int64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      int b = get_bit();
+      if (b < 0) return -1;
+      v |= static_cast<int64_t>(b) << i;
+    }
+    return v;
+  }
+};
+
+struct VliReader {
+  BitReader* bits;
+  int order = 0;
+
+  // Adaptive Rice/Elias get (vli.h:86-101): count prefix zeros with the
+  // order escalating per zero, then `order` raw bits; order decays by 2.
+  inline int64_t get() {
+    int64_t sum = 0;
+    for (;;) {
+      int b = bits->get_bit();
+      if (b < 0) return -1;
+      if (b) break;
+      sum += 1ll << order;
+      order += 1;
+    }
+    int64_t v = bits->read_bits(order);
+    if (v < 0) return -1;
+    order -= 2;
+    if (order < 0) order = 0;
+    return v + sum;
+  }
+};
+
+struct RleReader {
+  VliReader* vli;
+  int64_t cnt = 0;  // pending zeros; <0 = sticky error
+
+  // Next significance bit (rle.h:66-77).
+  inline int get_rle() {
+    if (cnt < 0) return -1;
+    if (!cnt) {
+      cnt = vli->get();
+      if (cnt < 0) return -1;
+      return !cnt;
+    }
+    return cnt-- == 1;
+  }
+
+  // Raw bit; any pending run must end exactly here (rle.h:79-103).
+  inline int get_bit() {
+    if (cnt < 0) return -1;
+    if (cnt > 0) {
+      int r = get_rle();
+      if (r < 0) return -1;
+      if (r != 1) return -1;
+    }
+    return vli->bits->get_bit();
+  }
+};
+
+// One (chunk, plane) coding step: significance pass + refinement pass
+// (decode.c:67-100).  Returns 0, or -1 on EOF (partial updates stay).
+int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane) {
+  uint32_t bit_mask = plane >= 0 ? (1u << plane) : 0u;
+  for (int64_t i = 0; i < num; ++i) {
+    uint32_t v = static_cast<uint32_t>(val[i]);
+    if (!(v & kRefMask)) {
+      int b = rle->get_rle();
+      if (b < 0) return -1;
+      if (b) {
+        int s = rle->get_bit();
+        if (s < 0) return -1;
+        val[i] = static_cast<int32_t>(
+            v | bit_mask | (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
+      }
+    }
+  }
+  for (int64_t i = 0; i < num; ++i) {
+    uint32_t v = static_cast<uint32_t>(val[i]);
+    if (v & kRefMask) {
+      int b = rle->get_bit();
+      if (b < 0) return -1;
+      if (b) val[i] = static_cast<int32_t>(v | bit_mask);
+    } else if (v & kSigMask) {
+      val[i] = static_cast<int32_t>(v ^ (kSigMask | kRefMask));
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full entropy decode of the post-header bitstream.
+//
+//   stream/nbytes : bitstream bytes (starting right after the 6-byte header)
+//   channels      : 1 or 3
+//   levels        : pyramid levels; pixels[] has levels+1 entries
+//   levels_max    : reduced-resolution cap (== levels for full decode)
+//   pixels        : linear offsets per level (geometry.py Pyramid.pixels)
+//   out           : (channels, total) planar int32, zero-initialized by caller
+//   missing       : (channels, 16) int32, filled with remaining plane counts
+//   out_level     : deepest detail level actually decoded (-1 if none)
+//   out_planes    : (channels,) decoded plane counts
+//
+// Returns 0 on success (including graceful truncation), -1 on hard error
+// (header/root/planes unreadable -> reference exits with no output).
+int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
+                       int levels, int levels_max, const int64_t* pixels,
+                       int32_t* out, int32_t* missing, int32_t* out_level,
+                       int32_t* out_planes) {
+  BitReader bits{stream, nbytes};
+  VliReader vli{&bits};
+  const int64_t total = pixels[levels];
+  const int64_t pix0 = pixels[0];
+
+  // Root band (decode.c:119-134): any EOF here is a hard error.
+  for (int c = 0; c < channels; ++c) {
+    int64_t cnt = vli.get();
+    if (cnt < 0) return -1;
+    if (cnt) {
+      int32_t* row = out + static_cast<int64_t>(c) * total;
+      for (int64_t i = 0; i < pix0; ++i) {
+        int64_t v = bits.read_bits(static_cast<int>(cnt));
+        if (v < 0) return -1;
+        if (v) {
+          int s = bits.get_bit();
+          if (s < 0) return -1;
+          if (s) v = -v;
+        }
+        row[i] = static_cast<int32_t>(v);
+      }
+    }
+  }
+  int planes[4] = {0, 0, 0, 0};
+  int planes_max = 0;
+  for (int c = 0; c < channels; ++c) {
+    int64_t p = vli.get();
+    if (p < 0) return -1;
+    planes[c] = static_cast<int>(p);
+    out_planes[c] = planes[c];
+    if (planes[c] > planes_max) planes_max = planes[c];
+  }
+  for (int c = 0; c < channels; ++c)
+    for (int l = 0; l < 16; ++l)
+      missing[c * 16 + l] = l < levels ? planes[c] : 0;
+
+  int level = -1;
+  RleReader rle{&vli};
+  int maximum = levels > planes_max ? levels : planes_max;
+  int layers_max = 2 * maximum - 1;
+
+  // Layer schedule replay (decode.c:199-243).  A macro-free structured
+  // version of the reference's goto-end control flow.
+  bool stop = levels_max <= 0;
+  if (!stop && planes_max == planes[0]) {
+    // Pre-step: top luma plane of the coarsest chunk (decode.c:199-205).
+    level = 0;
+    if (decode_plane(&rle, out + pix0, pixels[1] - pix0, planes[0] - 1) != 0)
+      stop = true;
+    else
+      --missing[0];
+  }
+  for (int layers = 0; !stop && layers < layers_max; ++layers) {
+    for (int l = 0; l < levels && l <= layers + 1; ++l) {
+      if (l >= levels_max) { stop = true; break; }
+      int plane = planes_max - 1 - (layers + 1 - l);
+      if (plane < 0 || plane >= planes[0]) continue;
+      if (level < l) level = l;
+      if (decode_plane(&rle, out + pixels[l], pixels[l + 1] - pixels[l],
+                       plane) != 0) { stop = true; break; }
+      --missing[l];
+    }
+    for (int l = 0; !stop && l < levels && l <= layers; ++l) {
+      if (l >= levels_max) { stop = true; break; }
+      for (int c = 1; c < channels; ++c) {
+        int plane = planes_max - 1 - (layers - l);
+        if (plane < 0 || plane >= planes[c]) continue;
+        if (level < l) level = l;
+        if (decode_plane(&rle, out + static_cast<int64_t>(c) * total + pixels[l],
+                         pixels[l + 1] - pixels[l], plane) != 0) {
+          stop = true;
+          break;
+        }
+        --missing[c * 16 + l];
+      }
+    }
+  }
+
+  // Strip coding-state flags; sign-magnitude -> two's complement
+  // (decode.c:102-117), over the decoded detail range only.
+  int64_t ndet = (level + 1 <= levels ? pixels[level + 1] : total) - pix0;
+  if (ndet < 0) ndet = 0;
+  for (int c = 0; c < channels; ++c) {
+    int32_t* row = out + static_cast<int64_t>(c) * total + pix0;
+    for (int64_t i = 0; i < ndet; ++i) {
+      uint32_t v = static_cast<uint32_t>(row[i]) & ~(kSigMask | kRefMask);
+      int32_t w = static_cast<int32_t>(v & ~kSgnMask);
+      row[i] = (v & kSgnMask) ? -w : w;
+    }
+  }
+  *out_level = level;
+  return 0;
+}
+
+}  // extern "C"

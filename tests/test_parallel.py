@@ -1,0 +1,84 @@
+"""Multi-device (8 virtual CPU) sharding tests: halo DWT bit-exactness,
+global truncation allocation, dry-run step."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from dwt_tpu import specmodel  # noqa: E402
+from dwt_tpu.geometry import compute_pyramid  # noqa: E402
+from dwt_tpu.parallel import tiled  # noqa: E402
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("y",))
+
+
+@needs8
+@pytest.mark.parametrize("w,h", [(64, 64), (63, 64), (320, 256), (17, 1024)])
+def test_halo_dwt_bit_exact(rng, w, h):
+    """Sharded halo-exchanged transform == single-chip transform, exactly."""
+    img = rng.integers(-255, 256, (h, w, 3)).astype(np.int32)
+    pyr = compute_pyramid(w, h)
+    mesh = _mesh()
+    x = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("y", None, None)))
+    fine, coarse = tiled.halo_dwt2d_fwd(x, mesh, pyr, "y")
+    got = tiled.assemble_pyramid(fine, coarse, pyr, 8)
+    want = specmodel.dwt2d_fwd(img, pyr)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs8
+def test_halo_dwt_uses_halo_path(rng):
+    """For pow2 sizes most levels must run the halo (ppermute) path."""
+    assert tiled._halo_plan(compute_pyramid(256, 1024), 8) >= 6
+    assert tiled._halo_plan(compute_pyramid(64, 63), 8) == 0  # fallback
+
+
+def test_allocate_budget_exact_fit():
+    lb = jnp.asarray([[10, 5, 5, 5], [10, 3, 3, 3]], jnp.int32)
+    # budget covers layer 0 fully (20) + layer 1 fully (8) + 4 spare
+    cuts = np.asarray(tiled.allocate_budget(lb, 32))
+    assert cuts.sum() == 32
+    assert (cuts >= np.array([15, 13])).all()  # full layers kept
+
+    cuts = np.asarray(tiled.allocate_budget(lb, 20))
+    assert cuts.tolist() == [10, 10]
+
+    # budget below layer 0: hand out within layer 0 tile-by-tile
+    cuts = np.asarray(tiled.allocate_budget(lb, 12))
+    assert cuts.tolist() == [10, 2]
+
+    # huge budget: everything kept
+    cuts = np.asarray(tiled.allocate_budget(lb, 10_000))
+    assert cuts.tolist() == [25, 19]
+
+
+@needs8
+def test_dryrun_multichip():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

@@ -27,7 +27,7 @@ W, H = 3840, 2160
 
 def synthetic_4k(rng):
     sys.path.insert(0, "tests")
-    from conftest import random_image
+    from imagegen import random_image
 
     return random_image(rng, W, H, 3, "mixed")
 

@@ -52,6 +52,7 @@ from ..ops.lifting import dwt2d_fwd
 NSTATE = 31
 PMAX = 16  # bitplane count bound for 8-bit input
 BLOCK = 256  # token block length for the order-state scan
+LMAX = 48  # static bound on progressive quality layers (2*max(levels,planes)-1)
 
 
 def _ilog2_i32(x):
@@ -176,8 +177,12 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
     planes_max = jnp.max(planes)
 
     idx = jnp.broadcast_to(segs.idx_local[None, :], q.shape)
-    nS_list, nZ_list, trailZ_list = [], [], []
-    for p in range(PMAX):
+
+    # Per-(chunk, plane) stats via a rolled loop over planes: one iteration's
+    # temporaries live at a time (the unrolled form OOMs HBM at 4K), and the
+    # traced upper bound skips planes beyond the image's actual maximum.
+    def stat_body(p, acc):
+        nS, nZ, trailZ = acc
         maskS = (q == p) & valid
         maskZ = (q < p) & valid
         s_cnt = segs.reduce_sum(maskS.astype(jnp.int32))
@@ -185,14 +190,17 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
         lastS = segs.reduce_max(jnp.where(maskS, idx, -1))
         z_upto = segs.reduce_sum(
             (maskZ & (idx <= segs.bcast(lastS))).astype(jnp.int32))
-        nS_list.append(s_cnt)
-        nZ_list.append(z_cnt)
-        trailZ_list.append(z_cnt - z_upto)
-    nS = jnp.stack(nS_list, axis=2)        # (C, L, PMAX)
-    nZ = jnp.stack(nZ_list, axis=2)
-    trailZ = jnp.stack(trailZ_list, axis=2)
+        return (nS.at[:, :, p].set(s_cnt), nZ.at[:, :, p].set(z_cnt),
+                trailZ.at[:, :, p].set(z_cnt - z_upto))
+
+    zero_clp = jnp.zeros((C, L, PMAX), jnp.int32)
+    nS, nZ, trailZ = jax.lax.fori_loop(
+        0, jnp.minimum(planes_max, PMAX), stat_body,
+        (zero_clp, zero_clp, zero_clp))
     nums = jnp.asarray(segs.real, jnp.int32)
-    nRef = nums[None, :, None] - nZ - nS
+    nRef = jnp.where(
+        jnp.arange(PMAX)[None, None, :] < planes_max,
+        nums[None, :, None] - nZ - nS, 0)
 
     # --- schedule order over the (C, L, PMAX) step grid -------------------
     c_ix = jnp.arange(C, dtype=jnp.int32)[:, None, None]
@@ -233,15 +241,15 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
     root_max = jnp.max(jnp.abs(root), axis=1)
     root_cnt = jnp.where(root_max > 0,
                          1 + _ilog2_i32(jnp.maximum(root_max, 1)), 0)
-    nnz_root = jnp.sum(root != 0, axis=1).astype(jnp.int32)
-    root_tokens = 1 + jnp.where(root_cnt > 0, pix0 + nnz_root, 0)  # (C,)
+    nnz_root = jnp.sum(root != 0, axis=1, dtype=jnp.int32)
+    root_tokens = (1 + jnp.where(root_cnt > 0, pix0 + nnz_root, 0)).astype(jnp.int32)
     root_base = _excl_cumsum(root_tokens)
-    planes_base = jnp.sum(root_tokens)
+    planes_base = jnp.sum(root_tokens, dtype=jnp.int32)
     steps_base0 = planes_base + C
 
     cnt_s = jnp.where(valid_s, 2 * nS_s + nRef_s + refrun_ok_s.astype(jnp.int32), 0)
-    base_s = steps_base0 + _excl_cumsum(cnt_s)
-    T = steps_base0 + jnp.sum(cnt_s) + 1  # +1 flush token
+    base_s = (steps_base0 + _excl_cumsum(cnt_s)).astype(jnp.int32)
+    T = steps_base0 + jnp.sum(cnt_s, dtype=jnp.int32) + 1  # +1 flush token
 
     S = C * L * PMAX
 
@@ -324,11 +332,11 @@ def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
         (jnp.arange(L, dtype=base_dtype) * big + 1)[None, :], (C, L)))
 
     # Accumulated per-coefficient S-token fields (each coefficient is newly
-    # significant at exactly one plane).
-    run_acc = jnp.zeros((C, n), jnp.int32)
-    srank_acc = jnp.full((C, n), DUMP, jnp.int32)
-
-    for p in range(PMAX):
+    # significant at exactly one plane).  Rolled loop over planes: bounds
+    # live temporaries (unrolled form OOMs HBM at 4K) and the traced upper
+    # bound skips planes beyond the image's maximum.
+    def plane_body(p, acc):
+        tok_val, tok_raw, run_acc, srank_acc = acc
         maskS = (q == p) & valid
         maskZ = (q < p) & valid
         maskR = (q > p) & valid
@@ -348,6 +356,12 @@ def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
         rankR = jnp.where(maskR, rbase + kr, DUMP).reshape(-1)
         tok_val = tok_val.at[rankR].set(((mag >> p) & 1).reshape(-1))
         tok_raw = tok_raw.at[rankR].set(1)
+        return tok_val, tok_raw, run_acc, srank_acc
+
+    tok_val, tok_raw, run_acc, srank_acc = jax.lax.fori_loop(
+        0, jnp.minimum(stats["planes_max"], PMAX), plane_body,
+        (tok_val, tok_raw,
+         jnp.zeros((C, n), jnp.int32), jnp.full((C, n), DUMP, jnp.int32)))
 
     # significance run + sign tokens: one scatter each over all coefficients
     sr = srank_acc.reshape(-1)
@@ -403,6 +417,33 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     return orders.T.reshape(padded_T)
 
 
+def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
+    """Bit offset at which each progressive quality layer ends.
+
+    Layer k of the shared schedule (encode.c:183-220; pre-step counts as
+    layer 0) ends where the first token of any step of a later layer
+    begins.  Used by the tiled container's global truncation allocation —
+    cutting a tile's stream at layer_end[k] keeps layers <= k intact.
+    Returns (LMAX,) int64 bit offsets, monotone, final value = total_bits.
+    """
+    C, L = channels, pyr.levels
+    pm = stats["planes_max"]
+    c_ix = jnp.arange(C, dtype=jnp.int32)[:, None, None]
+    l_ix = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    p_ix = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
+    layers = jnp.where(c_ix == 0, pm - 2 - p_ix + l_ix, pm - 1 - p_ix + l_ix)
+    bucket = jnp.maximum(layers, -1) + 1  # pre-step -> 0
+    valid = jnp.broadcast_to(p_ix < stats["planes"][:, None, None], (C, L, PMAX))
+    BIGBIT = jnp.int32(2**31 - 1)
+    start_bits = off[jnp.clip(stats["step_base"], 0, off.shape[0] - 1)]
+    start_bits = jnp.where(valid, start_bits, BIGBIT)
+    ks = jnp.arange(LMAX)[:, None]
+    later = (bucket.reshape(-1)[None, :] > ks) & valid.reshape(-1)[None, :]
+    ends = jnp.min(jnp.where(later, start_bits.reshape(-1)[None, :], BIGBIT),
+                   axis=1)
+    return jnp.minimum(ends, total_bits)
+
+
 def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
     """Token codewords -> LSB-first packed u32 words via prefix-sum + scatter."""
     s = orders
@@ -414,9 +455,11 @@ def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
     word_vli = (jnp.int64(1) << k64) | (payload << (k64 + 1))
     tw = jnp.where(tok_vli, word_vli, v64).astype(jnp.uint64)
 
-    off = _excl_cumsum(nbits.astype(jnp.int64), axis=0)
-    total_bits = jnp.sum(nbits.astype(jnp.int64))
-    widx = (off >> 5).astype(jnp.int32)
+    # int32 bit offsets: single streams stay < 2^31 bits (256 MB); the tiled
+    # container is the path for anything larger.
+    off = _excl_cumsum(nbits, axis=0)
+    total_bits = off[-1] + nbits[-1]
+    widx = off >> 5
     sh = (off & 31).astype(jnp.uint64)
     M32 = jnp.uint64(0xFFFFFFFF)
     lo = tw & M32
@@ -430,7 +473,7 @@ def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
     words = words.at[widx].add(c0.astype(jnp.uint32))
     words = words.at[widx + 1].add(c1.astype(jnp.uint32))
     words = words.at[widx + 2].add(c2.astype(jnp.uint32))
-    return words, total_bits
+    return words, total_bits, off
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +522,9 @@ class Encoder:
             def stage2(lin, stats):
                 tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
                 orders = _vli_orders(tv, tf, padded_T)
-                return _pack_bits(tv, tr, tf, orders, padded_T)
+                words, total_bits, off = _pack_bits(tv, tr, tf, orders, padded_T)
+                layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
+                return words, total_bits, layer_ends
 
             self._stage2[padded_T] = fn = stage2
         return fn
@@ -498,7 +543,7 @@ class Encoder:
             img = img[..., None]
         lin, stats = self._stage1(jnp.asarray(img), self._perm)
         T = int(stats["T"])
-        words, total_bits = self._get_stage2(_bucket(T))(lin, stats)
+        words, total_bits, _ = self._get_stage2(_bucket(T))(lin, stats)
         nbytes = (int(total_bits) + 7) // 8
         payload = np.asarray(words).tobytes()[:nbytes]
         stream = self.header() + payload

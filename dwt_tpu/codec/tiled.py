@@ -1,0 +1,209 @@
+"""Batched and tiled encoding: throughput mode + the .dwtt container.
+
+Two capabilities beyond the reference's single-stream format:
+
+* **Batch throughput mode** (`BatchEncoder`): vmap the full device encode
+  pipeline over a batch of same-geometry frames/tiles — one dispatch
+  encodes N streams (BASELINE config 4, "batch-of-64 1080p").
+
+* **Tiled container** (`encode_tiled` / `decode_tiled`): an image split
+  into independently-coded tiles with a per-tile length table.  Every tile
+  stream is a standard headerless .dwt payload, so any prefix of any tile
+  stays decodable — the progressive/truncation contract survives tiling.
+  A global byte budget is allocated across tiles by quality layer
+  (parallel.tiled.allocate_budget): the multi-tile generalization of the
+  reference's CAPACITY mechanism (bytes.h:75-78), coordinated so all tiles
+  degrade together instead of later tiles vanishing entirely.
+
+Container layout (little-endian):
+    0   'W' 'T'            magic
+    2   u8  version = 1
+    3   u8  flags: bit0 = grayscale
+    4   u32 image width        8   u32 image height
+    12  u16 tile width         14  u16 tile height
+    16  u32 x (ntx * nty) per-tile stream byte lengths
+    ..  concatenated tile streams
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import compute_pyramid
+from ..hilbert import padded_layout
+from ..parallel.tiled import allocate_budget
+from . import decoder as _decoder
+from .encoder import (ALIGN, _bucket, _build_tokens, _layer_boundaries,
+                      _pack_bits, _transform_and_stats, _vli_orders)
+
+MAGIC = b"WT"
+VERSION = 1
+
+
+class BatchEncoder:
+    """Encodes batches of same-size images in one vmapped device program."""
+
+    def __init__(self, width: int, height: int, channels: int):
+        self.pyr = compute_pyramid(width, height)
+        self.channels = channels
+        self.gray = channels == 1
+        self._perm = jax.device_put(jnp.asarray(padded_layout(self.pyr, ALIGN)[0]))
+        pyr, C, gray = self.pyr, channels, self.gray
+
+        @jax.jit
+        def stage1(imgs, perm):
+            return jax.vmap(
+                lambda im: _transform_and_stats(im, pyr, C, gray, perm)
+            )(imgs)
+
+        self._stage1 = stage1
+        self._stage2 = {}
+
+    def _get_stage2(self, padded_T: int):
+        fn = self._stage2.get(padded_T)
+        if fn is None:
+            pyr, C = self.pyr, self.channels
+
+            def one(lin, stats):
+                tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
+                orders = _vli_orders(tv, tf, padded_T)
+                words, total_bits, off = _pack_bits(tv, tr, tf, orders, padded_T)
+                layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
+                return words, total_bits, layer_ends
+
+            self._stage2[padded_T] = fn = jax.jit(jax.vmap(one))
+        return fn
+
+    def header(self) -> bytes:
+        w, h = self.pyr.width, self.pyr.height
+        return bytes([
+            ord("W"), ord("5") if self.gray else ord("6"),
+            (w - 1) & 255, ((w - 1) >> 8) & 255,
+            (h - 1) & 255, ((h - 1) >> 8) & 255,
+        ])
+
+    def encode_raw(self, imgs: np.ndarray):
+        """(N, H, W, C) uint8 -> (payloads list[bytes], layer_ends (N, LMAX)
+        byte offsets).  Payloads exclude the 6-byte header."""
+        imgs = np.asarray(imgs)
+        lin, stats = self._stage1(jnp.asarray(imgs), self._perm)
+        T = int(jnp.max(stats["T"]))
+        words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
+        words_np = np.asarray(words)
+        bits_np = np.asarray(total_bits)
+        payloads = []
+        for i in range(imgs.shape[0]):
+            nbytes = (int(bits_np[i]) + 7) // 8
+            payloads.append(words_np[i].tobytes()[:nbytes])
+        layer_bytes = (np.asarray(layer_ends) + 7) // 8
+        return payloads, layer_bytes
+
+    def encode_batch(self, imgs: np.ndarray) -> list:
+        """Full .dwt streams (with headers) for a batch of frames."""
+        payloads, _ = self.encode_raw(imgs)
+        hdr = self.header()
+        return [hdr + p for p in payloads]
+
+
+@functools.lru_cache(maxsize=16)
+def get_batch_encoder(width: int, height: int, channels: int) -> BatchEncoder:
+    return BatchEncoder(width, height, channels)
+
+
+def _tile_grid(W: int, H: int, tw: int, th: int):
+    ntx = (W + tw - 1) // tw
+    nty = (H + th - 1) // th
+    return ntx, nty
+
+
+def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> bytes:
+    """Encode into the tiled container; optional global byte budget.
+
+    Edge tiles keep their true (smaller) size and are encoded with their
+    own geometry; same-shape tiles share one vmapped batch dispatch.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    th, tw = tile
+    ntx, nty = _tile_grid(W, H, tw, th)
+
+    # Gather tiles, grouped by shape for batching.
+    groups = {}
+    order = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = img[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            key = t.shape[:2]
+            groups.setdefault(key, []).append((len(order), t))
+            order.append(key)
+
+    payloads = [None] * len(order)
+    layer_bytes = [None] * len(order)
+    for (hh, ww), items in groups.items():
+        enc = get_batch_encoder(ww, hh, C)
+        batch = np.stack([t for _, t in items])
+        pls, lbs = enc.encode_raw(batch)
+        for (idx, _), p, lb in zip(items, pls, lbs):
+            payloads[idx] = p
+            layer_bytes[idx] = lb
+
+    lengths = np.array([len(p) for p in payloads], np.int64)
+    if budget > 0:
+        head = 20 + 4 * len(payloads)
+        lb = np.stack(layer_bytes)  # (ntiles, LMAX) cumulative byte ends
+        per_layer = np.diff(np.concatenate(
+            [np.zeros((lb.shape[0], 1), np.int64), lb], axis=1), axis=1)
+        cuts = np.asarray(allocate_budget(
+            jnp.asarray(per_layer, jnp.int32), max(budget - head, 0)))
+        lengths = np.minimum(lengths, cuts.astype(np.int64))
+        payloads = [p[: int(n)] for p, n in zip(payloads, lengths)]
+
+    head = MAGIC + struct.pack("<BBIIHH", VERSION, 0 if C == 3 else 1,
+                               W, H, tw, th)
+    table = np.array([len(p) for p in payloads], "<u4").tobytes()
+    return head + table + b"".join(payloads)
+
+
+def decode_tiled(data: bytes) -> tuple:
+    """Decode a .dwtt container; returns (img uint8 (H, W, C), gray)."""
+    if data[:2] != MAGIC:
+        raise ValueError("not a dwtt container")
+    ver, flags, W, H, tw, th = struct.unpack("<BBIIHH", data[2:16])
+    if ver != VERSION:
+        raise ValueError(f"unsupported container version {ver}")
+    gray = bool(flags & 1)
+    C = 1 if gray else 3
+    ntx, nty = _tile_grid(W, H, tw, th)
+    n = ntx * nty
+    table = np.frombuffer(data[16 : 16 + 4 * n], "<u4")
+    off = 16 + 4 * n
+    out = np.zeros((H, W, C), np.uint8)
+    for ty in range(nty):
+        for tx in range(ntx):
+            i = ty * ntx + tx
+            stream = data[off : off + int(table[i])]
+            off += int(table[i])
+            hh = min(th, H - ty * th)
+            ww = min(tw, W - tx * tw)
+            hdr = bytes([
+                ord("W"), ord("5") if gray else ord("6"),
+                (ww - 1) & 255, ((ww - 1) >> 8) & 255,
+                (hh - 1) & 255, ((hh - 1) >> 8) & 255,
+            ])
+            timg, _ = _decoder.decode(hdr + stream)
+            oh, ow = timg.shape[:2]
+            # Truncated tiles decode at reduced size; upsample by pixel
+            # replication to keep the mosaic consistent.
+            if (oh, ow) != (hh, ww):
+                ry = (hh + oh - 1) // oh
+                rx = (ww + ow - 1) // ow
+                timg = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:hh, :ww]
+            out[ty * th : ty * th + hh, tx * tw : tx * tw + ww] = timg
+    return out, gray

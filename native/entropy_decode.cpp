@@ -1,3 +1,4 @@
+#include <cstdlib>
 // Native entropy decoder for the .dwt bitstream.
 //
 // Decode-side bit parsing is inherently serial (every codeword's position
@@ -19,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -131,32 +133,150 @@ struct RleReader {
   }
 };
 
-// One (chunk, plane) coding step: significance pass + refinement pass
-// (decode.c:67-100).  Returns 0, or -1 on EOF (partial updates stay).
-int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane) {
-  uint32_t bit_mask = plane >= 0 ? (1u << plane) : 0u;
-  for (int64_t i = 0; i < num; ++i) {
-    uint32_t v = static_cast<uint32_t>(val[i]);
-    if (!(v & kRefMask)) {
-      int b = rle->get_rle();
-      if (b < 0) return -1;
-      if (b) {
-        int s = rle->get_bit();
-        if (s < 0) return -1;
-        val[i] = static_cast<int32_t>(
-            v | bit_mask | (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
-      }
-    }
+// Per-(channel, chunk) significance bookkeeping.  The reference re-scans
+// every coefficient on every plane, checking state flags per position
+// (decode.c:73-99, O(num * planes) branchy work).  We instead keep the
+// insignificant positions as an ordered list and *jump over zero runs in
+// O(1)*: a run of R zeros advances the list cursor by R without touching
+// memory, so each plane costs O(runs + newly-significant + |significant|)
+// plus one memcpy-speed list rebuild — the dominant early planes (sparse,
+// huge runs) become nearly free.
+struct ChunkState {
+  std::vector<int32_t> insig;  // not-yet-significant positions, ascending
+  std::vector<int32_t> sig;    // significant (refined) positions, ascending
+  std::vector<int32_t> newly;  // became significant this plane
+  bool init = false;
+
+  void ensure(int64_t num) {
+    if (init) return;
+    insig.resize(num);
+    for (int64_t i = 0; i < num; ++i) insig[i] = static_cast<int32_t>(i);
+    init = true;
   }
-  for (int64_t i = 0; i < num; ++i) {
-    uint32_t v = static_cast<uint32_t>(val[i]);
-    if (v & kRefMask) {
+};
+
+// One (chunk, plane) coding step.  Returns 0, or -1 on EOF (partial
+// updates keep exactly the reference's sequence-point semantics: value
+// bits are only written where the reference would have written them).
+int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane,
+                 ChunkState* cs) {
+  uint32_t bit_mask = plane >= 0 ? (1u << plane) : 0u;
+  cs->ensure(num);
+  cs->newly.clear();
+
+  // Significance pass over the insignificant list with run jumping.
+  // get_rle/counter semantics (rle.h:66-77): reading run R makes the
+  // current position zero #1 of R, and position (cursor + R) significant;
+  // a pending counter c makes position (cursor + c - 1) significant.
+  size_t i = 0;
+  const size_t e = cs->insig.size();
+  while (i < e) {
+    size_t remaining = e - i;
+    if (rle->cnt == 0) {
+      int64_t r = rle->vli->get();
+      if (r < 0) return -1;
+      if (static_cast<uint64_t>(r) >= remaining) {
+        rle->cnt = r - static_cast<int64_t>(remaining) + 1;
+        i = e;
+        break;
+      }
+      i += static_cast<size_t>(r);
+    } else {
+      if (static_cast<uint64_t>(rle->cnt) > remaining) {
+        rle->cnt -= static_cast<int64_t>(remaining);
+        i = e;
+        break;
+      }
+      i += static_cast<size_t>(rle->cnt) - 1;
+      rle->cnt = 0;
+    }
+    // Position insig[i] is newly significant: sign bit follows immediately
+    // (cnt == 0 here, so it is a raw bit).
+    int s = rle->vli->bits->get_bit();
+    if (s < 0) return -1;
+    int32_t pos = cs->insig[i];
+    val[pos] = static_cast<int32_t>(
+        static_cast<uint32_t>(val[pos]) | bit_mask |
+        (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
+    cs->newly.push_back(pos);
+    ++i;
+  }
+
+  // Refinement pass over previously-significant positions (position order).
+  // Bits are consecutive in the stream once any pending run is consumed, so
+  // read them in up-to-57-bit chunks and visit only the set bits (ctz).
+  if (getenv("DWT_SIMPLE_REF")) {
+    for (int32_t pos : cs->sig) {
       int b = rle->get_bit();
       if (b < 0) return -1;
-      if (b) val[i] = static_cast<int32_t>(v | bit_mask);
-    } else if (v & kSigMask) {
-      val[i] = static_cast<int32_t>(v ^ (kSigMask | kRefMask));
+      if (b) val[pos] = static_cast<int32_t>(
+          static_cast<uint32_t>(val[pos]) | bit_mask);
     }
+  } else {
+    const int32_t* sig = cs->sig.data();
+    size_t m = cs->sig.size();
+    size_t j = 0;
+    if (m && rle->cnt > 0) {  // first bit must close the pending run exactly
+      int b = rle->get_bit();
+      if (b < 0) return -1;
+      if (b) val[sig[0]] = static_cast<int32_t>(
+          static_cast<uint32_t>(val[sig[0]]) | bit_mask);
+      j = 1;
+    }
+    BitReader* br = rle->vli->bits;
+    while (j < m) {
+      br->refill();
+      int take = br->navail < static_cast<int64_t>(m - j)
+                     ? br->navail : static_cast<int>(m - j);
+      if (take > 57) take = 57;  // never shift acc by >= 64 (UB)
+      if (take <= 0) {
+        int b = br->get_bit();  // sets sticky EOF
+        if (b < 0) return -1;
+        if (b) val[sig[j]] = static_cast<int32_t>(
+            static_cast<uint32_t>(val[sig[j]]) | bit_mask);
+        ++j;
+        continue;
+      }
+      uint64_t chunk = (take >= 64) ? br->acc
+                                    : (br->acc & ((1ull << take) - 1));
+      br->acc >>= take;
+      br->navail -= take;
+      while (chunk) {
+        int t = __builtin_ctzll(chunk);
+        chunk &= chunk - 1;
+        int32_t pos = sig[j + t];
+        val[pos] = static_cast<int32_t>(
+            static_cast<uint32_t>(val[pos]) | bit_mask);
+      }
+      j += take;
+    }
+  }
+
+  // Promote: merge newly into sig (both ascending); rebuild insig by
+  // copying the surviving runs (memcpy-speed).
+  if (!cs->newly.empty()) {
+    std::vector<int32_t> merged;
+    merged.reserve(cs->sig.size() + cs->newly.size());
+    size_t a = 0, b = 0;
+    while (a < cs->sig.size() && b < cs->newly.size())
+      merged.push_back(cs->sig[a] < cs->newly[b] ? cs->sig[a++]
+                                                 : cs->newly[b++]);
+    while (a < cs->sig.size()) merged.push_back(cs->sig[a++]);
+    while (b < cs->newly.size()) merged.push_back(cs->newly[b++]);
+    cs->sig.swap(merged);
+
+    std::vector<int32_t> left;
+    left.reserve(cs->insig.size() - cs->newly.size());
+    size_t src = 0, k = 0;
+    for (size_t j = 0; j < cs->insig.size(); ++j) {
+      if (k < cs->newly.size() && cs->insig[j] == cs->newly[k]) {
+        ++k;
+        continue;
+      }
+      left.push_back(cs->insig[j]);
+    }
+    (void)src;
+    cs->insig.swap(left);
   }
   return 0;
 }
@@ -223,6 +343,7 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
   RleReader rle{&vli};
   int maximum = levels > planes_max ? levels : planes_max;
   int layers_max = 2 * maximum - 1;
+  std::vector<ChunkState> states(static_cast<size_t>(channels) * levels);
 
   // Layer schedule replay (decode.c:199-243).  A macro-free structured
   // version of the reference's goto-end control flow.
@@ -230,7 +351,8 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
   if (!stop && planes_max == planes[0]) {
     // Pre-step: top luma plane of the coarsest chunk (decode.c:199-205).
     level = 0;
-    if (decode_plane(&rle, out + pix0, pixels[1] - pix0, planes[0] - 1) != 0)
+    if (decode_plane(&rle, out + pix0, pixels[1] - pix0, planes[0] - 1,
+                     &states[0]) != 0)
       stop = true;
     else
       --missing[0];
@@ -242,7 +364,7 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
       if (plane < 0 || plane >= planes[0]) continue;
       if (level < l) level = l;
       if (decode_plane(&rle, out + pixels[l], pixels[l + 1] - pixels[l],
-                       plane) != 0) { stop = true; break; }
+                       plane, &states[l]) != 0) { stop = true; break; }
       --missing[l];
     }
     for (int l = 0; !stop && l < levels && l <= layers; ++l) {
@@ -252,7 +374,8 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
         if (plane < 0 || plane >= planes[c]) continue;
         if (level < l) level = l;
         if (decode_plane(&rle, out + static_cast<int64_t>(c) * total + pixels[l],
-                         pixels[l + 1] - pixels[l], plane) != 0) {
+                         pixels[l + 1] - pixels[l], plane,
+                         &states[static_cast<size_t>(c) * levels + l]) != 0) {
           stop = true;
           break;
         }

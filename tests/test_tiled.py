@@ -1,0 +1,66 @@
+"""Batch throughput mode + tiled container tests."""
+
+import numpy as np
+import pytest
+
+import oracle
+from conftest import random_image
+from dwt_tpu.io.pnm import pnm_bytes, read_pnm
+
+jax = pytest.importorskip("jax")
+
+from dwt_tpu import specmodel  # noqa: E402
+from dwt_tpu.codec import tiled  # noqa: E402
+
+
+def test_batch_encode_matches_single(rng):
+    """Each stream of a vmapped batch must equal the single-image encoder."""
+    imgs = np.stack([random_image(rng, 64, 48, 3, k)
+                     for k in ("mixed", "noise", "mixed", "flat")])
+    enc = tiled.get_batch_encoder(64, 48, 3)
+    streams = enc.encode_batch(imgs)
+    for i, s in enumerate(streams):
+        assert s == specmodel.encode(imgs[i], gray=False)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference not mounted")
+def test_batch_streams_decode_with_reference(rng):
+    imgs = np.stack([random_image(rng, 48, 32, 1, "mixed") for _ in range(3)])
+    enc = tiled.get_batch_encoder(48, 32, 1)
+    for i, s in enumerate(enc.encode_batch(imgs)):
+        out, _ = read_pnm(oracle.ref_decode(s))
+        np.testing.assert_array_equal(out.squeeze(), imgs[i].squeeze())
+
+
+def test_tiled_container_lossless(rng):
+    img = random_image(rng, 200, 120, 3, "mixed")  # uneven tile edges
+    data = tiled.encode_tiled(img, tile=(64, 64))
+    out, gray = tiled.decode_tiled(data)
+    assert not gray
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_container_gray_lossless(rng):
+    img = random_image(rng, 128, 128, 1, "mixed")
+    data = tiled.encode_tiled(img, tile=(64, 64))
+    out, gray = tiled.decode_tiled(data)
+    assert gray
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_budget_truncation(rng):
+    img = random_image(rng, 128, 128, 3, "mixed")
+    full = tiled.encode_tiled(img, tile=(64, 64))
+    budget = len(full) // 3
+    cut = tiled.encode_tiled(img, tile=(64, 64), budget=budget)
+    assert len(cut) <= budget
+    out, _ = tiled.decode_tiled(cut)
+    assert out.shape == img.shape
+    # Quality should be decent: PSNR above a loose floor.
+    mse = np.mean((out.astype(np.float64) - img) ** 2)
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 20, psnr
+    # And the budget allocation must not zero out any tile.
+    n = (128 // 64) ** 2
+    table = np.frombuffer(cut[16 : 16 + 4 * n], "<u4")
+    assert (table > 0).all()

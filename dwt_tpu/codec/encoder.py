@@ -122,9 +122,10 @@ class _Segs:
              for l in range(self.L)], axis=1)
 
     def reduce_sum(self, x):
-        """(C, n) -> (C, L) per-segment sums via static aligned slices."""
+        """(C, n) -> (C, L) per-segment int32 sums via static aligned slices."""
         return jnp.stack(
-            [x[:, self.starts[l] : self.starts[l] + self.sizes[l]].sum(axis=1)
+            [x[:, self.starts[l] : self.starts[l] + self.sizes[l]].sum(
+                axis=1, dtype=jnp.int32)
              for l in range(self.L)], axis=1)
 
     def reduce_max(self, x):
@@ -247,9 +248,16 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
     planes_base = jnp.sum(root_tokens, dtype=jnp.int32)
     steps_base0 = planes_base + C
 
-    cnt_s = jnp.where(valid_s, 2 * nS_s + nRef_s + refrun_ok_s.astype(jnp.int32), 0)
+    # Compact token ranks: refinement bits are NOT tokens — they are raw
+    # bits at closed-form positions (refstart(step) + rank-among-refined)
+    # and are packed directly into stream words, so the token array (and
+    # the VLI order scan over it) holds only runs/signs/roots/flush.
+    cnt_s = jnp.where(valid_s, 2 * nS_s + refrun_ok_s.astype(jnp.int32), 0)
     base_s = (steps_base0 + _excl_cumsum(cnt_s)).astype(jnp.int32)
     T = steps_base0 + jnp.sum(cnt_s, dtype=jnp.int32) + 1  # +1 flush token
+    nref_v = jnp.where(valid_s, nRef_s, 0)
+    refpfx_s = _excl_cumsum(nref_v).astype(jnp.int32)  # ref bits before step
+    nref_total = jnp.sum(nref_v, dtype=jnp.int64)
 
     S = C * L * PMAX
 
@@ -258,13 +266,17 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
 
     stats = dict(
         planes=planes, planes_max=planes_max,
-        nS=nS, root_cnt=root_cnt, root_base=root_base,
+        nS=nS, nRef=nRef, root_cnt=root_cnt, root_base=root_base,
         planes_base=planes_base,
         step_base=unsort(base_s),
+        step_end=unsort(base_s + cnt_s),
+        refpfx=unsort(refpfx_s),
         carry_in=unsort(carry_in_s),
         refrun_val=unsort(refrun_val_s),
         refrun_ok=unsort(refrun_ok_s),
+        valid=valid,
         carry_end=carry_end,
+        nref_total=nref_total,
         T=T,
     )
     return lin, stats
@@ -336,13 +348,11 @@ def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
     # live temporaries (unrolled form OOMs HBM at 4K) and the traced upper
     # bound skips planes beyond the image's maximum.
     def plane_body(p, acc):
-        tok_val, tok_raw, run_acc, srank_acc = acc
+        run_acc, srank_acc = acc
         maskS = (q == p) & valid
         maskZ = (q < p) & valid
-        maskR = (q > p) & valid
         zpfx = segs.excl_cumsum(maskZ.astype(jnp.int32))
         ks = segs.excl_cumsum(maskS.astype(jnp.int32))
-        kr = segs.excl_cumsum(maskR.astype(jnp.int32))
         has_prev, prev_zpfx = segs.prev_monotone(
             maskS, zpfx.astype(base_dtype), seg_base)
         cin = segs.bcast(carry_in[:, :, p])
@@ -351,17 +361,11 @@ def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
         base = segs.bcast(step_base[:, :, p])
         run_acc = jnp.where(maskS, runval, run_acc)
         srank_acc = jnp.where(maskS, base + 2 * ks, srank_acc)
-        # refinement tokens: one masked scatter per plane
-        rbase = base + segs.bcast(2 * nS[:, :, p] + refrun_ok[:, :, p])
-        rankR = jnp.where(maskR, rbase + kr, DUMP).reshape(-1)
-        tok_val = tok_val.at[rankR].set(((mag >> p) & 1).reshape(-1))
-        tok_raw = tok_raw.at[rankR].set(1)
-        return tok_val, tok_raw, run_acc, srank_acc
+        return run_acc, srank_acc
 
-    tok_val, tok_raw, run_acc, srank_acc = jax.lax.fori_loop(
+    run_acc, srank_acc = jax.lax.fori_loop(
         0, jnp.minimum(stats["planes_max"], PMAX), plane_body,
-        (tok_val, tok_raw,
-         jnp.zeros((C, n), jnp.int32), jnp.full((C, n), DUMP, jnp.int32)))
+        (jnp.zeros((C, n), jnp.int32), jnp.full((C, n), DUMP, jnp.int32)))
 
     # significance run + sign tokens: one scatter each over all coefficients
     sr = srank_acc.reshape(-1)
@@ -444,8 +448,17 @@ def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
     return jnp.minimum(ends, total_bits)
 
 
-def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
-    """Token codewords -> LSB-first packed u32 words via prefix-sum + scatter."""
+def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
+               pyr: Pyramid, channels: int, padded_T: int, nwords: int):
+    """Compact-token codewords + refinement bits -> packed u32 stream words.
+
+    Compact tokens (runs/signs/roots/flush) pack via prefix-sum offsets and
+    <=3 word scatter-add contributions each.  Refinement bits are injected
+    between steps: each step's ref-pass range starts at
+    off_base[step_end] + refpfx(step); the j-th refined coefficient of the
+    step owns exactly bit (refstart + j).
+    """
+    C = channels
     s = orders
     k = jnp.where(tok_vli, _vli_k(tok_val, s), 0)
     nbits = jnp.where(tok_vli, 2 * k + s + 1, tok_raw)
@@ -457,8 +470,16 @@ def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
 
     # int32 bit offsets: single streams stay < 2^31 bits (256 MB); the tiled
     # container is the path for anything larger.
-    off = _excl_cumsum(nbits, axis=0)
+    off_base = _excl_cumsum(nbits, axis=0)
+    # Ref-bit injection: each step's nRef raw bits land after the step's
+    # compact tokens — add them into every later token's offset.
+    nref_step = jnp.where(stats["valid"], stats["nRef"], 0).reshape(-1)
+    inject = jnp.zeros(padded_T + 1, jnp.int32).at[
+        jnp.clip(stats["step_end"].reshape(-1), 0, padded_T)
+    ].add(nref_step)[:padded_T]
+    off = off_base + jnp.cumsum(inject)
     total_bits = off[-1] + nbits[-1]
+
     widx = off >> 5
     sh = (off & 31).astype(jnp.uint64)
     M32 = jnp.uint64(0xFFFFFFFF)
@@ -468,12 +489,50 @@ def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
     c0 = (lo << sh) & M32
     c1 = ((lo >> (jnp.uint64(32) - sh)) | (hi << sh)) & M32
     c2 = (hi >> (jnp.uint64(32) - sh)) & M32
-    nwords = 2 * padded_T + 4
+    # nwords covers the worst-case stream plus one spare dump slot for
+    # masked ref-bit scatters (callers size it; see _stream_words).
     words = jnp.zeros(nwords, jnp.uint32)
     words = words.at[widx].add(c0.astype(jnp.uint32))
     words = words.at[widx + 1].add(c1.astype(jnp.uint32))
     words = words.at[widx + 2].add(c2.astype(jnp.uint32))
+
+    words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
     return words, total_bits, off
+
+
+def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
+    """Scatter every refinement bit directly into the stream words.
+
+    Bit position of the j-th refined coefficient (position order) of step
+    (c, l, p) is refstart + j, where refstart = off_base[step_end] +
+    refpfx — no tokens, no VLI state involved (they are raw bits,
+    encode.c:84-93).
+    """
+    C = channels
+    pix0 = pyr.pixels[0]
+    segs = _Segs(pyr)
+    det = lin[:, segs.root_pad :]
+    valid = segs.valid()[None, :]
+    mag = jnp.abs(det)
+    q = jnp.where((mag > 0) & valid, _ilog2_i32(mag), -1)
+    q = jnp.where(valid, q, -1)
+
+    end_idx = jnp.clip(stats["step_end"], 0, off_base.shape[0] - 1)
+    refstart = off_base[end_idx] + stats["refpfx"]  # (C, L, PMAX)
+    DUMPW = words.shape[0] - 1
+
+    def body(p, words):
+        maskR = (q > p) & valid
+        kr = segs.excl_cumsum(maskR.astype(jnp.int32))
+        start = segs.bcast(refstart[:, :, p])
+        bitpos = start + kr
+        bit = ((mag >> p) & 1).astype(jnp.uint32)
+        contrib = bit << (bitpos & 31).astype(jnp.uint32)
+        w = jnp.where(maskR, bitpos >> 5, DUMPW).reshape(-1)
+        return words.at[w].add(jnp.where(maskR, contrib, 0).reshape(-1))
+
+    return jax.lax.fori_loop(
+        0, jnp.minimum(stats["planes_max"], PMAX), body, words)
 
 
 # ---------------------------------------------------------------------------
@@ -482,6 +541,14 @@ def _pack_bits(tok_val, tok_raw, tok_vli, orders, padded_T: int):
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _stream_words(pyr: Pyramid, channels: int, padded_T: int) -> int:
+    """Static output word-buffer size: worst-case compact-token bits
+    (64/token) + worst-case refinement bits (PMAX per detail coefficient),
+    plus slack and one spare dump slot."""
+    n_det = (pyr.total - pyr.pixels[0]) * channels
+    return 2 * padded_T + (n_det * PMAX) // 32 + 8
 
 
 def _bucket(t: int) -> int:
@@ -518,11 +585,14 @@ class Encoder:
         if fn is None:
             pyr, C = self.pyr, self.channels
 
+            nwords = _stream_words(pyr, C, padded_T)
+
             @jax.jit
             def stage2(lin, stats):
                 tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
                 orders = _vli_orders(tv, tf, padded_T)
-                words, total_bits, off = _pack_bits(tv, tr, tf, orders, padded_T)
+                words, total_bits, off = _pack_bits(
+                    lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)
                 layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
                 return words, total_bits, layer_ends
 

@@ -39,7 +39,8 @@ from ..hilbert import padded_layout
 from ..parallel.tiled import allocate_budget
 from . import decoder as _decoder
 from .encoder import (ALIGN, _bucket, _build_tokens, _layer_boundaries,
-                      _pack_bits, _transform_and_stats, _vli_orders)
+                      _pack_bits, _stream_words, _transform_and_stats,
+                      _vli_orders)
 
 MAGIC = b"WT"
 VERSION = 1
@@ -69,10 +70,13 @@ class BatchEncoder:
         if fn is None:
             pyr, C = self.pyr, self.channels
 
+            nwords = _stream_words(pyr, C, padded_T)
+
             def one(lin, stats):
                 tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
                 orders = _vli_orders(tv, tf, padded_T)
-                words, total_bits, off = _pack_bits(tv, tr, tf, orders, padded_T)
+                words, total_bits, off = _pack_bits(
+                    lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)
                 layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
                 return words, total_bits, layer_ends
 

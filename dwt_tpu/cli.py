@@ -38,16 +38,18 @@ def main(argv=None) -> int:
         if w > MAX_DIM or h > MAX_DIM or w < MIN_LEN or h < MIN_LEN:
             return _err(f"unsupported image size {w}x{h}")
         capacity = int(args[2]) if len(args) == 3 else 0
-        stream = encoder.encode(img, capacity=capacity)
+        enc = encoder.get_encoder(img.shape[1], img.shape[0], img.shape[2])
+        stream, info = enc.encode_with_stats(img, capacity=capacity)
         if args[1] == "-":
             sys.stdout.buffer.write(stream)
             sys.stdout.buffer.flush()
         else:
             with open(args[1], "wb") as f:
                 f.write(stream)
-        bits = 8 * (len(stream) - 6)
-        print(f"{(len(stream)+512)//1024} KiB ({bits} payload bits) encoded",
-              file=sys.stderr)
+        print(f"{info['payload_bits']} payload bits "
+              f"({(len(stream)+512)//1024} KiB) encoded; "
+              f"planes={info['planes']} levels={info['levels']} "
+              f"{info['mps']:.2f} MP/s", file=sys.stderr)
         return 0
 
     from .codec import decoder

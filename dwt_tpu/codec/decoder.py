@@ -90,6 +90,44 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
     return tail
 
 
+@functools.lru_cache(maxsize=256)
+def _tail_batch_fn(width: int, height: int, out_levels: int, channels: int,
+                   gray: bool):
+    """vmapped inverse pipeline for a batch of same-geometry tiles."""
+    tail = _tail_fn(width, height, out_levels, channels, gray)
+    return jax.jit(jax.vmap(tail))
+
+
+def decode_batch(payloads: list, width: int, height: int, gray: bool,
+                 pixels_max: int = 0, nthreads: int = 0) -> list:
+    """Decode many same-geometry headerless payloads: thread-pooled native
+    parse + one vmapped TPU inverse per decoded-level group.
+
+    Returns a list of (H', W', C) uint8 images (size depends on how far
+    each stream decoded). Hard-failed streams (truncated inside the root
+    band) come back as None.
+    """
+    C = 1 if gray else 3
+    pyr = compute_pyramid(width, height)
+    levels_max = pyr.levels
+    if pixels_max > 0:
+        while levels_max > 0 and pyr.pixels[levels_max] > pixels_max:
+            levels_max -= 1
+    coeffs, missing, level, planes, rc = native.entropy_decode_batch(
+        payloads, C, pyr.levels, levels_max, pyr.pixels, nthreads)
+    out = [None] * len(payloads)
+    for lv in np.unique(level):
+        idx = np.nonzero((level == lv) & (rc == 0))[0]
+        if idx.size == 0:
+            continue
+        fn = _tail_batch_fn(width, height, int(lv) + 1, C, gray)
+        imgs = np.asarray(fn(jnp.asarray(coeffs[idx]),
+                             jnp.asarray(missing[idx])))
+        for j, i in enumerate(idx):
+            out[int(i)] = imgs[j]
+    return out
+
+
 def decode(stream: bytes, pixels_max: int = 0) -> tuple:
     """Full decoder; returns (image uint8 (H, W, C), gray)."""
     W, H, gray = parse_header(stream)

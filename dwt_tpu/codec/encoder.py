@@ -37,6 +37,7 @@ capacity mechanism emits exactly the prefix of the unconstrained stream.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -492,9 +493,11 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     # nwords covers the worst-case stream plus one spare dump slot for
     # masked ref-bit scatters (callers size it; see _stream_words).
     words = jnp.zeros(nwords, jnp.uint32)
-    words = words.at[widx].add(c0.astype(jnp.uint32))
-    words = words.at[widx + 1].add(c1.astype(jnp.uint32))
-    words = words.at[widx + 2].add(c2.astype(jnp.uint32))
+    # Token ranks are stream-ordered, so word indices are nondecreasing —
+    # the sorted hint lets XLA skip its sort-based scatter lowering.
+    words = words.at[widx].add(c0.astype(jnp.uint32), indices_are_sorted=True)
+    words = words.at[widx + 1].add(c1.astype(jnp.uint32), indices_are_sorted=True)
+    words = words.at[widx + 2].add(c2.astype(jnp.uint32), indices_are_sorted=True)
 
     words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
     return words, total_bits, off
@@ -608,18 +611,37 @@ class Encoder:
         ])
 
     def encode(self, img: np.ndarray, capacity: int = 0) -> bytes:
+        return self.encode_with_stats(img, capacity)[0]
+
+    def encode_with_stats(self, img: np.ndarray, capacity: int = 0) -> tuple:
+        """Returns (stream bytes, info dict) — the structured counterpart of
+        the reference's stderr bit counters (encode.c:176,180,230)."""
         img = np.asarray(img)
         if img.ndim == 2:
             img = img[..., None]
+        t0 = time.perf_counter()
         lin, stats = self._stage1(jnp.asarray(img), self._perm)
         T = int(stats["T"])
-        words, total_bits, _ = self._get_stage2(_bucket(T))(lin, stats)
-        nbytes = (int(total_bits) + 7) // 8
+        words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
+        total_bits = int(total_bits)
+        nbytes = (total_bits + 7) // 8
         payload = np.asarray(words).tobytes()[:nbytes]
         stream = self.header() + payload
         if capacity > 0:
             stream = stream[:capacity]
-        return stream
+        dt = time.perf_counter() - t0
+        le = np.asarray(layer_ends)
+        info = {
+            "tokens": T,
+            "payload_bits": total_bits,
+            "bytes": len(stream),
+            "planes": np.asarray(stats["planes"]).tolist(),
+            "levels": self.pyr.levels,
+            "layer_end_bytes": np.unique((le[le < 2**31 - 1] + 7) // 8).tolist(),
+            "seconds": dt,
+            "mps": self.pyr.total / 1e6 / dt,
+        }
+        return stream, info
 
 
 @functools.lru_cache(maxsize=64)

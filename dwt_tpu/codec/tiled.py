@@ -175,8 +175,12 @@ def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> 
     return head + table + b"".join(payloads)
 
 
-def decode_tiled(data: bytes) -> tuple:
-    """Decode a .dwtt container; returns (img uint8 (H, W, C), gray)."""
+def decode_tiled(data: bytes, nthreads: int = 0) -> tuple:
+    """Decode a .dwtt container; returns (img uint8 (H, W, C), gray).
+
+    Tiles are parsed by the native thread pool (independent streams) and
+    inverse-transformed in vmapped TPU batches grouped by tile geometry.
+    """
     if data[:2] != MAGIC:
         raise ValueError("not a dwtt container")
     ver, flags, W, H, tw, th = struct.unpack("<BBIIHH", data[2:16])
@@ -188,7 +192,10 @@ def decode_tiled(data: bytes) -> tuple:
     n = ntx * nty
     table = np.frombuffer(data[16 : 16 + 4 * n], "<u4")
     off = 16 + 4 * n
-    out = np.zeros((H, W, C), np.uint8)
+
+    # Group tiles by their true geometry (edge tiles are smaller).
+    groups = {}
+    spans = []
     for ty in range(nty):
         for tx in range(ntx):
             i = ty * ntx + tx
@@ -196,18 +203,23 @@ def decode_tiled(data: bytes) -> tuple:
             off += int(table[i])
             hh = min(th, H - ty * th)
             ww = min(tw, W - tx * tw)
-            hdr = bytes([
-                ord("W"), ord("5") if gray else ord("6"),
-                (ww - 1) & 255, ((ww - 1) >> 8) & 255,
-                (hh - 1) & 255, ((hh - 1) >> 8) & 255,
-            ])
-            timg, _ = _decoder.decode(hdr + stream)
+            spans.append((ty * th, tx * tw, hh, ww))
+            groups.setdefault((hh, ww), []).append((i, stream))
+
+    out = np.zeros((H, W, C), np.uint8)
+    for (hh, ww), items in groups.items():
+        imgs = _decoder.decode_batch([s for _, s in items], ww, hh, gray,
+                                     nthreads=nthreads)
+        for (i, _), timg in zip(items, imgs):
+            y0, x0, hh_, ww_ = spans[i]
+            if timg is None:
+                continue  # tile truncated inside root band: left as zeros
             oh, ow = timg.shape[:2]
             # Truncated tiles decode at reduced size; upsample by pixel
             # replication to keep the mosaic consistent.
-            if (oh, ow) != (hh, ww):
-                ry = (hh + oh - 1) // oh
-                rx = (ww + ow - 1) // ow
-                timg = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:hh, :ww]
-            out[ty * th : ty * th + hh, tx * tw : tx * tw + ww] = timg
+            if (oh, ow) != (hh_, ww_):
+                ry = (hh_ + oh - 1) // oh
+                rx = (ww_ + ow - 1) // ow
+                timg = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:hh_, :ww_]
+            out[y0 : y0 + hh_, x0 : x0 + ww_] = timg
     return out, gray

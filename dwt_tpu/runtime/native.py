@@ -48,6 +48,19 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.dwt_entropy_decode_batch.restype = ctypes.c_int
+        lib.dwt_entropy_decode_batch.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
         _LIB = lib
     return _LIB
 
@@ -73,3 +86,28 @@ def entropy_decode(stream: bytes, channels: int, levels: int, levels_max: int,
     if rc != 0:
         raise ValueError("stream too short for root band")
     return out, missing, int(level.value), planes
+
+
+def entropy_decode_batch(payloads: list, channels: int, levels: int,
+                         levels_max: int, pixels, nthreads: int = 0) -> tuple:
+    """Thread-pooled native parse of many same-geometry tile streams.
+
+    Returns (coeffs (N, C, total), missing (N, C, 16), level (N,),
+    planes (N, C), rc (N,)); rc != 0 marks hard-failed tiles.
+    """
+    lib = get_lib()
+    n = len(payloads)
+    total = int(pixels[levels])
+    blob = b"".join(payloads)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    out = np.zeros((n, channels, total), np.int32)
+    missing = np.zeros((n, channels, 16), np.int32)
+    level = np.full(n, -1, np.int32)
+    planes = np.zeros((n, channels), np.int32)
+    rc = np.zeros(n, np.int32)
+    pix = (ctypes.c_int64 * (levels + 1))(*[int(p) for p in pixels[: levels + 1]])
+    lib.dwt_entropy_decode_batch(
+        blob, offsets, n, channels, levels, levels_max, pix,
+        out, missing, level, planes, rc, nthreads)
+    return out, missing, level, planes, rc

@@ -18,8 +18,10 @@
 // Built as a shared library; called from Python via ctypes
 // (dwt_tpu/runtime/native.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -190,13 +192,15 @@ int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane,
       i += static_cast<size_t>(rle->cnt) - 1;
       rle->cnt = 0;
     }
-    // Position insig[i] is newly significant: sign bit follows immediately
-    // (cnt == 0 here, so it is a raw bit).
+    // Position insig[i] is newly significant.  The reference writes the
+    // significance bit BEFORE reading the sign (decode.c:79-83) — on EOF
+    // at the sign read the bit must survive (partial-truncation parity).
+    int32_t pos = cs->insig[i];
+    val[pos] = static_cast<int32_t>(static_cast<uint32_t>(val[pos]) | bit_mask);
     int s = rle->vli->bits->get_bit();
     if (s < 0) return -1;
-    int32_t pos = cs->insig[i];
     val[pos] = static_cast<int32_t>(
-        static_cast<uint32_t>(val[pos]) | bit_mask |
+        static_cast<uint32_t>(val[pos]) |
         (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
     cs->newly.push_back(pos);
     ++i;
@@ -397,6 +401,48 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
     }
   }
   *out_level = level;
+  return 0;
+}
+
+// Batch decode of many independent streams (tiles of the .dwtt container
+// or frames), fanned out over a host thread pool.  All tiles share one
+// geometry (pixels/levels); per-tile stream offsets index into `streams`.
+//
+//   n            : number of tiles
+//   streams      : concatenated tile payloads
+//   offsets      : (n+1,) byte offsets into streams
+//   out          : (n, channels, total) int32, zero-initialized
+//   missing      : (n, channels, 16)
+//   out_level    : (n,)
+//   out_planes   : (n, channels)
+//   rc           : (n,) per-tile return codes
+//   nthreads     : 0 = hardware concurrency
+int dwt_entropy_decode_batch(const uint8_t* streams, const int64_t* offsets,
+                             int n, int channels, int levels, int levels_max,
+                             const int64_t* pixels, int32_t* out,
+                             int32_t* missing, int32_t* out_level,
+                             int32_t* out_planes, int32_t* rc, int nthreads) {
+  const int64_t total = pixels[levels];
+  if (nthreads <= 0) {
+    nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads <= 0) nthreads = 4;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      rc[i] = dwt_entropy_decode(
+          streams + offsets[i], offsets[i + 1] - offsets[i], channels, levels,
+          levels_max, pixels, out + static_cast<int64_t>(i) * channels * total,
+          missing + static_cast<int64_t>(i) * channels * 16, out_level + i,
+          out_planes + static_cast<int64_t>(i) * channels);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = nthreads < n ? nthreads : n;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
   return 0;
 }
 

@@ -29,6 +29,12 @@ import pytest
 from imagegen import random_image  # noqa: F401  (re-export for tests)
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded per test id (stable hash): images are
+    # deterministic regardless of which subset/order of tests runs (a
+    # session-scoped rng made failures order-dependent and unreproducible
+    # in isolation — which is how the truncation sequence-point bug hid).
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))

@@ -64,3 +64,25 @@ def test_decode_smpte_lossless():
     stream = oracle.ref_encode(pnm_bytes(img))
     got, gray = decoder.decode(stream)
     np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="reference not mounted")
+def test_truncation_sequence_points():
+    """Parity at many truncation offsets: the reference writes the
+    significance bit BEFORE the sign read (decode.c:79-83), so a stream cut
+    between them must leave the bit set — regression for the hybrid parser."""
+    for seed in (2, 7, 11):
+        img = np.asarray(
+            __import__("imagegen").random_image(
+                np.random.default_rng(seed), 64, 48, 3, "mixed"))
+        stream = oracle.ref_encode(pnm_bytes(img))
+        for cap in (200, 333, 500, 900, 1500):
+            cut = stream[:cap]
+            try:
+                ref_img, _ = read_pnm(oracle.ref_decode(cut))
+            except Exception:
+                with pytest.raises(ValueError):
+                    decoder.decode(cut)
+                continue
+            got, _ = decoder.decode(cut)
+            np.testing.assert_array_equal(got, ref_img)

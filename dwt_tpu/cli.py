@@ -19,9 +19,27 @@ def _err(msg: str) -> int:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] not in ("encode", "decode"):
-        return _err("usage: dwt_tpu {encode,decode} INPUT OUTPUT [CAPACITY|PIXELS]")
+    if not argv or argv[0] not in ("encode", "decode", "tiled-encode"):
+        return _err("usage: dwt_tpu {encode,decode,tiled-encode} IN OUT "
+                    "[CAPACITY|PIXELS|TILE [BUDGET]]")
     mode, args = argv[0], argv[1:]
+
+    if mode == "tiled-encode":
+        if len(args) not in (2, 3, 4):
+            return _err("usage: dwt_tpu tiled-encode input.pnm output.dwtt "
+                        "[TILE] [BUDGET]")
+        from .codec import tiled
+        from .io import pnm
+
+        img, gray = pnm.read_pnm(args[0])
+        t = int(args[2]) if len(args) >= 3 else 512
+        budget = int(args[3]) if len(args) == 4 else 0
+        data = tiled.encode_tiled(img, tile=(t, t), budget=budget)
+        with open(args[1], "wb") as f:
+            f.write(data)
+        print(f"{len(data)} bytes, {t}x{t} tiles", file=sys.stderr)
+        return 0
+
     if len(args) not in (2, 3):
         if mode == "encode":
             return _err("usage: dwt_tpu encode input.pnm output.dwt [CAPACITY]")
@@ -61,7 +79,12 @@ def main(argv=None) -> int:
             stream = f.read()
     pixels = int(args[2]) if len(args) == 3 else 0
     try:
-        img, gray = decoder.decode(stream, pixels_max=pixels)
+        if stream[:2] == b"WT":  # tiled container auto-detect
+            from .codec import tiled
+
+            img, gray = tiled.decode_tiled(stream)
+        else:
+            img, gray = decoder.decode(stream, pixels_max=pixels)
     except ValueError as e:
         return _err(str(e))
     pnm.write_pnm(args[1], img, gray=gray)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import Pyramid, compute_pyramid
+from ..geometry import compute_pyramid
 from ..hilbert import level_of_position, reconstruction_perm
 from ..ops.color import ycocg_to_rgb
 from ..ops.lifting import cdf53_inv, dwt2d_inv

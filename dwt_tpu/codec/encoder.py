@@ -625,7 +625,8 @@ class Encoder:
         words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
         total_bits = int(total_bits)
         nbytes = (total_bits + 7) // 8
-        payload = np.asarray(words).tobytes()[:nbytes]
+        # Slice on device so only the real stream transfers D2H.
+        payload = np.asarray(words[: (nbytes + 3) // 4]).tobytes()[:nbytes]
         stream = self.header() + payload
         if capacity > 0:
             stream = stream[:capacity]

@@ -91,21 +91,30 @@ class BatchEncoder:
             (h - 1) & 255, ((h - 1) >> 8) & 255,
         ])
 
+    # Per-dispatch pixel budget: bounds HBM for the vmapped pipeline
+    # (token buffers + stream words + plane-loop temps per image).
+    MAX_PIXELS_PER_DISPATCH = 16_000_000
+
     def encode_raw(self, imgs: np.ndarray):
         """(N, H, W, C) uint8 -> (payloads list[bytes], layer_ends (N, LMAX)
-        byte offsets).  Payloads exclude the 6-byte header."""
+        byte offsets).  Payloads exclude the 6-byte header.  Large batches
+        are processed in memory-bounded sub-batches."""
         imgs = np.asarray(imgs)
-        lin, stats = self._stage1(jnp.asarray(imgs), self._perm)
-        T = int(jnp.max(stats["T"]))
-        words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
-        words_np = np.asarray(words)
-        bits_np = np.asarray(total_bits)
-        payloads = []
-        for i in range(imgs.shape[0]):
-            nbytes = (int(bits_np[i]) + 7) // 8
-            payloads.append(words_np[i].tobytes()[:nbytes])
-        layer_bytes = (np.asarray(layer_ends) + 7) // 8
-        return payloads, layer_bytes
+        chunk = max(1, self.MAX_PIXELS_PER_DISPATCH // self.pyr.total)
+        payloads, layer_list = [], []
+        for s in range(0, imgs.shape[0], chunk):
+            sub = imgs[s : s + chunk]
+            lin, stats = self._stage1(jnp.asarray(sub), self._perm)
+            T = int(jnp.max(stats["T"]))
+            words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
+            bits_np = np.asarray(total_bits)
+            for i in range(sub.shape[0]):
+                nbytes = (int(bits_np[i]) + 7) // 8
+                # Slice on device so only the real stream transfers D2H.
+                payloads.append(
+                    np.asarray(words[i, : (nbytes + 3) // 4]).tobytes()[:nbytes])
+            layer_list.append((np.asarray(layer_ends) + 7) // 8)
+        return payloads, np.concatenate(layer_list, axis=0)
 
     def encode_batch(self, imgs: np.ndarray) -> list:
         """Full .dwt streams (with headers) for a batch of frames."""
@@ -119,10 +128,22 @@ def get_batch_encoder(width: int, height: int, channels: int) -> BatchEncoder:
     return BatchEncoder(width, height, channels)
 
 
+def _tile_spans(extent: int, t: int):
+    """Tile start/size spans; a trailing remainder below the codec's 8-pixel
+    minimum is absorbed into the final tile."""
+    spans = []
+    o = 0
+    while o < extent:
+        size = min(t, extent - o)
+        if extent - (o + size) < 8 and extent - (o + size) > 0:
+            size = extent - o
+        spans.append((o, size))
+        o += size
+    return spans
+
+
 def _tile_grid(W: int, H: int, tw: int, th: int):
-    ntx = (W + tw - 1) // tw
-    nty = (H + th - 1) // th
-    return ntx, nty
+    return len(_tile_spans(W, tw)), len(_tile_spans(H, th))
 
 
 def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> bytes:
@@ -141,9 +162,9 @@ def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> 
     # Gather tiles, grouped by shape for batching.
     groups = {}
     order = []
-    for ty in range(nty):
-        for tx in range(ntx):
-            t = img[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+    for y0, hh in _tile_spans(H, th):
+        for x0, ww in _tile_spans(W, tw):
+            t = img[y0 : y0 + hh, x0 : x0 + ww]
             key = t.shape[:2]
             groups.setdefault(key, []).append((len(order), t))
             order.append(key)
@@ -193,18 +214,17 @@ def decode_tiled(data: bytes, nthreads: int = 0) -> tuple:
     table = np.frombuffer(data[16 : 16 + 4 * n], "<u4")
     off = 16 + 4 * n
 
-    # Group tiles by their true geometry (edge tiles are smaller).
+    # Group tiles by their true geometry (edge tiles differ).
     groups = {}
     spans = []
-    for ty in range(nty):
-        for tx in range(ntx):
-            i = ty * ntx + tx
+    i = 0
+    for y0, hh in _tile_spans(H, th):
+        for x0, ww in _tile_spans(W, tw):
             stream = data[off : off + int(table[i])]
             off += int(table[i])
-            hh = min(th, H - ty * th)
-            ww = min(tw, W - tx * tw)
-            spans.append((ty * th, tx * tw, hh, ww))
+            spans.append((y0, x0, hh, ww))
             groups.setdefault((hh, ww), []).append((i, stream))
+            i += 1
 
     out = np.zeros((H, W, C), np.uint8)
     for (hh, ww), items in groups.items():

@@ -33,10 +33,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..geometry import Pyramid, compute_pyramid
-from ..ops.lifting import cdf53_fwd, cdf53_inv, dwt2d_fwd
+from ..ops.lifting import dwt2d_fwd
 
 
 def _tdiv(a, d):

@@ -1,6 +1,5 @@
 """Parallel TPU encoder vs the sequential spec model (byte-identical)."""
 
-import numpy as np
 import pytest
 
 from conftest import random_image

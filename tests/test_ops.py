@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 
-from conftest import random_image
 from dwt_tpu import specmodel
 from dwt_tpu.geometry import compute_pyramid
 

@@ -5,7 +5,7 @@ import pytest
 
 import oracle
 from conftest import random_image
-from dwt_tpu.io.pnm import pnm_bytes, read_pnm
+from dwt_tpu.io.pnm import read_pnm
 
 jax = pytest.importorskip("jax")
 
@@ -64,3 +64,12 @@ def test_tiled_budget_truncation(rng):
     n = (128 // 64) ** 2
     table = np.frombuffer(cut[16 : 16 + 4 * n], "<u4")
     assert (table > 0).all()
+
+
+def test_tiled_sub8_edge_absorbed(rng):
+    """A trailing remainder below the 8-pixel minimum merges into the last
+    tile instead of producing an illegal tiny tile."""
+    img = random_image(rng, 197, 70, 3, "mixed")  # 197 = 3*64 + 5
+    data = tiled.encode_tiled(img, tile=(64, 64))
+    out, _ = tiled.decode_tiled(data)
+    np.testing.assert_array_equal(out, img)

@@ -82,7 +82,7 @@ def main(argv=None) -> int:
         if stream[:2] == b"WT":  # tiled container auto-detect
             from .codec import tiled
 
-            img, gray = tiled.decode_tiled(stream)
+            img, gray = tiled.decode_tiled(stream, pixels_max=pixels)
         else:
             img, gray = decoder.decode(stream, pixels_max=pixels)
     except ValueError as e:

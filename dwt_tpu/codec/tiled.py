@@ -196,11 +196,14 @@ def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> 
     return head + table + b"".join(payloads)
 
 
-def decode_tiled(data: bytes, nthreads: int = 0) -> tuple:
+def decode_tiled(data: bytes, nthreads: int = 0, pixels_max: int = 0) -> tuple:
     """Decode a .dwtt container; returns (img uint8 (H, W, C), gray).
 
     Tiles are parsed by the native thread pool (independent streams) and
     inverse-transformed in vmapped TPU batches grouped by tile geometry.
+    ``pixels_max`` caps the per-tile decode resolution (the tiled analog of
+    the reference's PIXELS argument); the mosaic is replication-upsampled
+    back to full size.
     """
     if data[:2] != MAGIC:
         raise ValueError("not a dwtt container")
@@ -229,7 +232,7 @@ def decode_tiled(data: bytes, nthreads: int = 0) -> tuple:
     out = np.zeros((H, W, C), np.uint8)
     for (hh, ww), items in groups.items():
         imgs = _decoder.decode_batch([s for _, s in items], ww, hh, gray,
-                                     nthreads=nthreads)
+                                     pixels_max=pixels_max, nthreads=nthreads)
         for (i, _), timg in zip(items, imgs):
             y0, x0, hh_, ww_ = spans[i]
             if timg is None:

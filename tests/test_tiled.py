@@ -73,3 +73,13 @@ def test_tiled_sub8_edge_absorbed(rng):
     data = tiled.encode_tiled(img, tile=(64, 64))
     out, _ = tiled.decode_tiled(data)
     np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_reduced_resolution(rng):
+    img = random_image(rng, 128, 128, 3, "mixed")
+    data = tiled.encode_tiled(img, tile=(64, 64))
+    out, _ = tiled.decode_tiled(data, pixels_max=256)  # each tile <= 16x16
+    assert out.shape == img.shape  # replication-upsampled mosaic
+    # Should still resemble the image (very loose bound: better than noise).
+    mse = np.mean((out.astype(np.float64) - img) ** 2)
+    assert mse < np.mean((np.float64(128) - img) ** 2) * 1.5

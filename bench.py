@@ -43,13 +43,21 @@ def main():
     enc = encoder.get_encoder(W, H, 3)
     img_dev = jnp.asarray(img)
 
-    # Warm-up / compile.
+    # Warm-up / compile.  The timed function must CONSUME the stream words
+    # (checksum) — returning only the bit count lets XLA dead-code-eliminate
+    # the entire packing stage and overstates throughput ~3x.
     t0 = time.time()
     lin, stats = enc._stage1(img_dev, enc._perm)
     T = int(stats["T"])
     st2 = enc._get_stage2(encoder._bucket(T))
-    bits_only = jax.jit(lambda lin, stats: st2(lin, stats)[1])
-    int(bits_only(lin, stats))
+
+    @jax.jit
+    def full(lin, stats):
+        words, total_bits, _ = st2(lin, stats)
+        return jnp.sum(words, dtype=jnp.uint32), total_bits
+
+    cs, tb = full(lin, stats)
+    int(cs), int(tb)
     log(f"warmup/compile: {time.time()-t0:.1f}s  T={T}")
 
     # Correctness gate: full stream must match the ground truth.
@@ -76,12 +84,13 @@ def main():
         log("correctness gate: spec-model parity on 256x256 crop")
 
     # Timed region: full device pipeline per image, scalar sync at end.
-    n = 8
+    n = 5
     t0 = time.time()
     for _ in range(n):
         lin, stats = enc._stage1(img_dev, enc._perm)
         int(stats["T"])
-        int(bits_only(lin, stats))
+        cs, tb = full(lin, stats)
+        int(cs), int(tb)
     dt = (time.time() - t0) / n
     mps = W * H / 1e6 / dt
 

@@ -422,6 +422,19 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     return orders.T.reshape(padded_T)
 
 
+def _use_pallas_pack(padded_T: int) -> bool:
+    """The MXU bit-packing kernel runs on TPU-class backends (~10x the XLA
+    scatter path); CPU test runs use the scatter path.  DWT_NO_PALLAS=1
+    forces the fallback."""
+    import os
+
+    from ..ops import pallas_pack
+
+    return (os.environ.get("DWT_NO_PALLAS") != "1"
+            and jax.default_backend() != "cpu"
+            and padded_T % pallas_pack.BLOCKN == 0)
+
+
 def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
     """Bit offset at which each progressive quality layer ends.
 
@@ -487,17 +500,37 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     lo = tw & M32
     hi = tw >> jnp.uint64(32)
     # sh==0: x >> 32 is 0 in uint64 — exactly the wanted carry behavior.
-    c0 = (lo << sh) & M32
-    c1 = ((lo >> (jnp.uint64(32) - sh)) | (hi << sh)) & M32
-    c2 = (hi >> (jnp.uint64(32) - sh)) & M32
-    # nwords covers the worst-case stream plus one spare dump slot for
-    # masked ref-bit scatters (callers size it; see _stream_words).
-    words = jnp.zeros(nwords, jnp.uint32)
-    # Token ranks are stream-ordered, so word indices are nondecreasing —
-    # the sorted hint lets XLA skip its sort-based scatter lowering.
-    words = words.at[widx].add(c0.astype(jnp.uint32), indices_are_sorted=True)
-    words = words.at[widx + 1].add(c1.astype(jnp.uint32), indices_are_sorted=True)
-    words = words.at[widx + 2].add(c2.astype(jnp.uint32), indices_are_sorted=True)
+    c0 = ((lo << sh) & M32).astype(jnp.uint32)
+    c1 = (((lo >> (jnp.uint64(32) - sh)) | (hi << sh)) & M32).astype(jnp.uint32)
+    c2 = ((hi >> (jnp.uint64(32) - sh)) & M32).astype(jnp.uint32)
+    # nwords covers the worst-case stream plus slack for the Pallas window
+    # and one spare dump slot for masked ref-bit scatters (_stream_words).
+    if _use_pallas_pack(padded_T):
+        from ..ops.pallas_pack import BLOCKN, pack_words_pallas, wild_blocks
+
+        words = pack_words_pallas(widx, c0, c1, c2, nwords)
+        # Straggler pass: the kernel skips "wild" blocks (those containing a
+        # refinement-bit injection jump, <= one per schedule step, plus the
+        # one straddling the stream tail).  Gather their tokens and add the
+        # contributions with a small scatter.  MAXWILD=1536 provably covers
+        # C*L*PMAX steps + 1 (tokens are <= 64 bits, so nothing else can
+        # exceed the window).
+        MAXWILD = 1536
+        nblk = padded_T // BLOCKN
+        wild = wild_blocks(widx)
+        wix = jnp.nonzero(wild, size=MAXWILD, fill_value=nblk)[0]
+        tok = wix[:, None] * BLOCKN + jnp.arange(BLOCKN, dtype=jnp.int32)[None, :]
+        ok = (tok < padded_T).reshape(-1)
+        tokc = jnp.clip(tok, 0, padded_T - 1).reshape(-1)
+        wsel = jnp.where(ok, widx[tokc], nwords - 1)
+        for k, ck in enumerate((c0, c1, c2)):
+            words = words.at[wsel + k].add(jnp.where(ok, ck[tokc], 0))
+    else:
+        words = jnp.zeros(nwords, jnp.uint32)
+        # Word indices are nondecreasing (stream order) — sorted hints.
+        words = words.at[widx].add(c0, indices_are_sorted=True)
+        words = words.at[widx + 1].add(c1, indices_are_sorted=True)
+        words = words.at[widx + 2].add(c2, indices_are_sorted=True)
 
     words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
     return words, total_bits, off
@@ -549,20 +582,25 @@ def _round_up(x: int, m: int) -> int:
 def _stream_words(pyr: Pyramid, channels: int, padded_T: int) -> int:
     """Static output word-buffer size: worst-case compact-token bits
     (64/token) + worst-case refinement bits (PMAX per detail coefficient),
-    plus slack and one spare dump slot."""
+    plus the Pallas packer's window slack and one spare dump slot."""
+    from ..ops import pallas_pack
+
     n_det = (pyr.total - pyr.pixels[0]) * channels
-    return 2 * padded_T + (n_det * PMAX) // 32 + 8
+    return 2 * padded_T + (n_det * PMAX) // 32 + pallas_pack.WIN + 520
 
 
 def _bucket(t: int) -> int:
     """Pad token counts to coarse size buckets (powers of two and 0.75x
-    powers of two) so each image geometry compiles at most a few stage-2
-    variants regardless of content."""
-    t = max(t, 4 * BLOCK)
+    powers of two, multiples of the Pallas pack block) so each image
+    geometry compiles at most a few stage-2 variants regardless of
+    content."""
+    from ..ops import pallas_pack
+
+    t = max(t, 4 * pallas_pack.BLOCKN)
     b = 1 << (t - 1).bit_length()
     if 3 * b // 4 >= t:
         b = 3 * b // 4
-    return _round_up(b, BLOCK)
+    return _round_up(b, pallas_pack.BLOCKN)
 
 
 class Encoder:

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: monotone bit-stream packing via MXU one-hot matmuls.
+
+Replaces the three XLA scatter-adds that assemble compact-token codewords
+into stream words (~8 ns/element, sort-lowered) with a sequential-grid
+kernel that exploits the structure XLA cannot see: token word indices are
+*nondecreasing*, so each block of tokens touches one small contiguous word
+window.  Within a block, sub-chunks of 256 tokens land in a <= 514-word
+span; a one-hot (word == target) int8 matrix contracted with the nibble
+planes of the contributions compacts them on the MXU (s8 x s8 -> s32 is
+exact; 4-bit pieces stay positive in s8), and the eight nibble rows
+recombine with shifted adds.  Windows are 128-lane-aligned; consecutive
+blocks' overlapping boundary words are safe because the TPU grid executes
+sequentially and each block read-modify-writes its window via DMA.
+
+Mosaic notes (hard-won): everything stays 2-D with the token/word axis in
+lanes; no value-level dynamic_slice (refs + pl.ds only); no 64-bit values
+(x64 fori indices are i64 -> the sub-chunk loop is unrolled); u32->s8
+conversions route via s32; unsigned reductions are unavailable (sum in s32,
+bitcast back).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCKN = 2048     # tokens per grid step
+SUB = 256         # tokens per MXU sub-chunk
+SUBWIN = 768      # 514 (max word span of a 256-token sub-chunk) + 128 + pad
+WIN = 2 * BLOCKN + 256  # block window: worst-case words + alignment slack
+
+
+def _tame(widx_row):
+    """True iff every sub-chunk's word span fits its window.  Blocks that
+    contain a large bit-offset jump (a step's refinement-bit injection)
+    are "wild" and handled by the caller's straggler pass; the criterion
+    here must match `wild_blocks` below exactly.  Tokens are <= 64 bits, so
+    a block can only be wild at an injection site — the wild count is
+    bounded by the number of schedule steps (< 1024)."""
+    ok = (widx_row[BLOCKN - 1] - widx_row[0]) <= WIN - SUBWIN - 131
+    for s in range(BLOCKN // SUB):
+        ok &= (widx_row[s * SUB + SUB - 1] - widx_row[s * SUB]) <= SUBWIN - 131
+    return ok
+
+
+def wild_blocks(widx):
+    """(nblk,) bool — blocks the kernel skips; must mirror `_tame`."""
+    w = widx.reshape(-1, BLOCKN)
+    ok = (w[:, BLOCKN - 1] - w[:, 0]) <= WIN - SUBWIN - 131
+    for s in range(BLOCKN // SUB):
+        ok &= (w[:, s * SUB + SUB - 1] - w[:, s * SUB]) <= SUBWIN - 131
+    return ~ok
+
+
+def _kernel(ws_ref, widx_ref, c_ref, words_in, words_out,
+            scratch, sem_in, sem_out):
+    del words_in  # aliased with words_out
+    b = pl.program_id(0)
+    ws_al = pl.multiple_of(ws_ref[b], 128)  # aligned window start
+
+    @pl.when(_tame(widx_ref[0]))
+    def _():
+        _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in,
+                    sem_out)
+
+
+def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
+    # Pull the current window (read-modify-write across blocks is safe:
+    # the grid is sequential).
+    copy_in = pltpu.make_async_copy(
+        words_out.at[:, pl.ds(ws_al, WIN)], scratch, sem_in)
+    copy_in.start()
+    copy_in.wait()
+
+    def sub_chunk(base):
+        lw = widx_ref[:, pl.ds(base, SUB)] - ws_al  # (1, SUB) local offsets
+        # aligned sub-window start, clamped so the write can never leave the
+        # scratch window even for a misclassified block (out-of-window
+        # tokens then simply match no one-hot row and contribute nothing)
+        sub_o = pl.multiple_of(
+            jnp.minimum(jnp.maximum(lw[0, 0], 0) & ~127, WIN - SUBWIN), 128)
+        rel = lw - sub_o         # in [0, 514 + 127)
+        # columns: [c0 tokens | c1 tokens | c2 tokens] -> word rel + k
+        rel3 = jnp.concatenate([rel, rel + 1, rel + 2], axis=1)  # (1, 3*SUB)
+        vals = jnp.concatenate(
+            [c_ref[:, pl.ds(base, SUB)],
+             c_ref[:, pl.ds(BLOCKN + base, SUB)],
+             c_ref[:, pl.ds(2 * BLOCKN + base, SUB)]], axis=1)  # (1, 3*SUB)
+        # nibble planes (8, 3*SUB): 4-bit pieces stay positive in int8;
+        # route u32 -> s8 via s32 (Mosaic's u32->s8 rule recurses).
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0) * 4
+        v8 = ((vals >> shifts) & jnp.uint32(0xF)).astype(jnp.int32).astype(jnp.int8)
+        # one-hot (SUBWIN, 3*SUB): oh[w, t] = (w == rel3[t])
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SUBWIN, 3 * SUB), 0)
+        oh = (rows == rel3).astype(jnp.int8)
+        # contract the token axis of both operands: (8, SUBWIN) exact sums
+        acc = jax.lax.dot_general(
+            v8, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # recombine nibble-plane sums with shifted ADDs (carries matter);
+        # s32 overflow into the sign bit IS mod-2^32 — bitcast to u32.
+        rshift = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 4
+        wordvals = jax.lax.bitcast_convert_type(
+            jnp.sum(acc << rshift, axis=0, keepdims=True, dtype=jnp.int32),
+            jnp.uint32)  # (1, SUBWIN)
+        scratch[:, pl.ds(sub_o, SUBWIN)] = (
+            scratch[:, pl.ds(sub_o, SUBWIN)] + wordvals)
+
+    for s in range(BLOCKN // SUB):  # unrolled: traced indices would be i64
+        sub_chunk(s * SUB)
+
+    copy_out = pltpu.make_async_copy(
+        scratch, words_out.at[:, pl.ds(ws_al, WIN)], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+
+def pack_words_pallas(widx, c0, c1, c2, nwords: int, interpret: bool = False):
+    """words[nwords] with each token's 3 word contributions accumulated.
+
+    widx must be int32 nondecreasing; len(widx) a multiple of BLOCKN; the
+    last (WIN + 256) words of the buffer must be slack (never real stream
+    words) so the final block's window stays in bounds.
+    """
+    n = widx.shape[0]
+    nblk = n // BLOCKN
+    nwords_pad = (nwords + 511) // 512 * 512  # lane-aligned HBM width
+    ws_al = (widx[::BLOCKN] // 128) * 128  # (nblk,) aligned window starts
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, BLOCKN), lambda b, ws: (0, b)),
+            pl.BlockSpec((1, 3 * BLOCKN), lambda b, ws: (0, b)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, WIN), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    words0 = jnp.zeros((1, nwords_pad), jnp.uint32)
+    call = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nwords_pad), jnp.uint32),
+        input_output_aliases={3: 0},  # words_in (after scalar prefetch) -> out
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    c_blk = jnp.stack([c0.reshape(-1, BLOCKN), c1.reshape(-1, BLOCKN),
+                       c2.reshape(-1, BLOCKN)], axis=1).reshape(1, 3 * n)
+    # Trace the kernel with x64 disabled: under x64 Mosaic fails to
+    # legalize (64-bit index/literal types leak into the kernel jaxpr).
+    with jax.enable_x64(False):
+        out = call(ws_al.astype(jnp.int32), widx.reshape(1, n), c_blk, words0)
+    return out.reshape(nwords_pad)[:nwords]

@@ -51,9 +51,14 @@ from ..ops.lifting import dwt2d_fwd
 # Adaptive VLI order never exceeds ~log2(max run) + 2; 31 states cover every
 # stream with run lengths < 2^28 (images up to ~16K x 16K per stream).
 NSTATE = 31
-PMAX = 16  # bitplane count bound for 8-bit input
+# Bitplane count bound == the format's own ceiling: magnitudes must stay
+# below 2^29 because bits 29/30 are the sig/ref coding flags
+# (encode.c:115-128), so no valid stream has more than 29 planes.  Images
+# whose transform exceeds that magnitude are rejected (encode_with_stats),
+# never silently truncated.
+PMAX = 29
 BLOCK = 256  # token block length for the order-state scan
-LMAX = 48  # static bound on progressive quality layers (2*max(levels,planes)-1)
+LMAX = 64  # static bound on progressive quality layers (2*max(levels,planes)-1)
 
 
 def _ilog2_i32(x):
@@ -492,7 +497,6 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
         jnp.clip(stats["step_end"].reshape(-1), 0, padded_T)
     ].add(nref_step)[:padded_T]
     off = off_base + jnp.cumsum(inject)
-    total_bits = off[-1] + nbits[-1]
 
     widx = off >> 5
     sh = (off & 31).astype(jnp.uint64)
@@ -533,7 +537,13 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
         words = words.at[widx + 2].add(c2, indices_are_sorted=True)
 
     words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
-    return words, total_bits, off
+    # Exact stream length in int64 (a plain sum, independent of the int32
+    # offset chain): lets the host detect int32 bit-offset overflow — if
+    # this is >= 2^31 the packed words above are invalid and the encoder
+    # raises (single streams are capped at 2^31 bits; use the tiled
+    # container beyond that).
+    exact_bits = jnp.sum(nbits, dtype=jnp.int64) + stats["nref_total"]
+    return words, exact_bits, off
 
 
 def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
@@ -577,6 +587,31 @@ def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _check_planes(planes_max: int) -> int:
+    """Magnitudes must stay below 2^29 (bits 29/30 are the sig/ref flags,
+    encode.c:115-128).  A transform magnitude beyond that cannot be coded
+    by the format — hard error, never a silently-wrong stream."""
+    if planes_max > PMAX:
+        raise ValueError(
+            f"coefficient magnitude needs {planes_max} bitplanes; the format "
+            f"supports at most {PMAX} (magnitudes < 2^29, reference "
+            "encode.c:115-128)")
+    return planes_max
+
+
+def _check_stream_bits(total_bits: int) -> int:
+    """Single-stream bit offsets are int32; a stream at or beyond 2^31 bits
+    (256 MB) would have wrapped them.  The exact count is computed in int64
+    on device, so overflow is detected — not silently emitted.  Larger
+    images must use the tiled container (dwt_tpu.codec.tiled.encode_tiled)."""
+    if total_bits >= 2**31:
+        raise ValueError(
+            f"stream needs {total_bits} bits; single .dwt streams are "
+            "limited to 2^31 bits — encode with the tiled container "
+            "(dwt_tpu.codec.tiled.encode_tiled) instead")
+    return total_bits
 
 
 def _stream_words(pyr: Pyramid, channels: int, padded_T: int) -> int:
@@ -660,8 +695,9 @@ class Encoder:
         t0 = time.perf_counter()
         lin, stats = self._stage1(jnp.asarray(img), self._perm)
         T = int(stats["T"])
+        _check_planes(int(stats["planes_max"]))
         words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
-        total_bits = int(total_bits)
+        total_bits = _check_stream_bits(int(total_bits))
         nbytes = (total_bits + 7) // 8
         # Slice on device so only the real stream transfers D2H.
         payload = np.asarray(words[: (nbytes + 3) // 4]).tobytes()[:nbytes]

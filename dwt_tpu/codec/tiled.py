@@ -38,9 +38,9 @@ from ..geometry import compute_pyramid
 from ..hilbert import padded_layout
 from ..parallel.tiled import allocate_budget
 from . import decoder as _decoder
-from .encoder import (ALIGN, _bucket, _build_tokens, _layer_boundaries,
-                      _pack_bits, _stream_words, _transform_and_stats,
-                      _vli_orders)
+from .encoder import (ALIGN, _bucket, _build_tokens, _check_planes,
+                      _check_stream_bits, _layer_boundaries, _pack_bits,
+                      _stream_words, _transform_and_stats, _vli_orders)
 
 MAGIC = b"WT"
 VERSION = 1
@@ -106,10 +106,11 @@ class BatchEncoder:
             sub = imgs[s : s + chunk]
             lin, stats = self._stage1(jnp.asarray(sub), self._perm)
             T = int(jnp.max(stats["T"]))
+            _check_planes(int(jnp.max(stats["planes_max"])))
             words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
             bits_np = np.asarray(total_bits)
             for i in range(sub.shape[0]):
-                nbytes = (int(bits_np[i]) + 7) // 8
+                nbytes = (_check_stream_bits(int(bits_np[i])) + 7) // 8
                 # Slice on device so only the real stream transfers D2H.
                 payloads.append(
                     np.asarray(words[i, : (nbytes + 3) // 4]).tobytes()[:nbytes])

@@ -312,10 +312,15 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
   const int64_t total = pixels[levels];
   const int64_t pix0 = pixels[0];
 
-  // Root band (decode.c:119-134): any EOF here is a hard error.
+  // Root band (decode.c:119-134): any EOF here is a hard error.  `cnt` is
+  // attacker-controlled: values outside [0, 32] would make read_bits shift
+  // by >= 64 (UB); no valid stream exceeds 29 bits of magnitude (the
+  // format's 2^29 magnitude ceiling, encode.c:115-128), so hard-error like
+  // the reference effectively does (it would hit EOF reading that many
+  // bits per coefficient).
   for (int c = 0; c < channels; ++c) {
     int64_t cnt = vli.get();
-    if (cnt < 0) return -1;
+    if (cnt < 0 || cnt > 32) return -1;
     if (cnt) {
       int32_t* row = out + static_cast<int64_t>(c) * total;
       for (int64_t i = 0; i < pix0; ++i) {
@@ -332,9 +337,11 @@ int dwt_entropy_decode(const uint8_t* stream, int64_t nbytes, int channels,
   }
   int planes[4] = {0, 0, 0, 0};
   int planes_max = 0;
+  // Plane counts outside [0, 31] would drive decode_plane with
+  // `1u << plane` UB; valid streams never exceed 29 (magnitude ceiling).
   for (int c = 0; c < channels; ++c) {
     int64_t p = vli.get();
-    if (p < 0) return -1;
+    if (p < 0 || p > 31) return -1;
     planes[c] = static_cast<int>(p);
     out_planes[c] = planes[c];
     if (planes[c] > planes_max) planes_max = planes[c];

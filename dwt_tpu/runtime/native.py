@@ -1,8 +1,9 @@
 """Build + ctypes bindings for the native (C++) runtime components.
 
-The shared library is compiled on demand (and cached) from ``native/``;
-no external build system or pybind11 required — plain g++ + ctypes, per
-the framework's zero-dependency policy.
+The shared library is compiled on demand (and cached) from the package's
+``dwt_tpu/native/`` sources (shipped as package data, so installed wheels
+build it too); no external build system or pybind11 required — plain g++ +
+ctypes, per the framework's zero-dependency policy.
 """
 
 from __future__ import annotations
@@ -15,8 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-_ROOT = Path(__file__).resolve().parent.parent.parent
-_SRC = _ROOT / "native"
+_SRC = Path(__file__).resolve().parent.parent / "native"
 _LIB = None
 
 

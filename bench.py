@@ -21,7 +21,8 @@ import time
 
 import numpy as np
 
-BASELINE_MPS = 2.60
+BASELINE_MPS = 2.60       # reference C encode, 4K, 1 thread (BASELINE.md)
+DEC_BASELINE_MPS = 2.24   # reference C decode, same stream
 W, H = 3840, 2160
 
 
@@ -83,6 +84,8 @@ def main():
         assert encoder.encode(crop) == specmodel.encode(crop, gray=False)
         log("correctness gate: spec-model parity on 256x256 crop")
 
+    warmup_s = time.time() - t0
+
     # Timed region: full device pipeline per image, scalar sync at end.
     n = 5
     t0 = time.time()
@@ -94,11 +97,41 @@ def main():
     dt = (time.time() - t0) / n
     mps = W * H / 1e6 / dt
 
+    # Decode: native entropy parse (host) + TPU inverse pipeline.  The
+    # parse dominates; the inverse tail is timed separately with one
+    # warm-up decode so compile time stays out of the measurement.
+    from dwt_tpu.codec import decoder
+    from dwt_tpu.runtime import native
+
+    pyr = enc.pyr
+    dimg, _ = decoder.decode(stream)  # warm-up (parse + inverse) + correctness
+    assert np.array_equal(dimg, img), "BENCH INVALID: decode roundtrip"
+    t0 = time.time()
+    coeffs, missing, level, planes = native.entropy_decode(
+        stream[6:], 3, pyr.levels, pyr.levels, pyr.pixels)
+    parse_s = time.time() - t0
+    # Device inverse timed with a scalar-only sync (the full image D2H
+    # rides PCIe on production hosts; here it would measure the ~20 MB/s
+    # dev tunnel instead of the codec).
+    tail = decoder._tail_fn(W, H, level + 1, 3, False)
+    cj, mj = jnp.asarray(coeffs), jnp.asarray(missing)
+    int(jnp.sum(tail(cj, mj), dtype=jnp.uint32))  # warm-up/compile
+    t0 = time.time()
+    int(jnp.sum(tail(cj, mj), dtype=jnp.uint32))
+    inv_s = time.time() - t0
+    decode_s = parse_s + inv_s
+    dec_mps = W * H / 1e6 / decode_s
+    log(f"decode: parse {parse_s:.2f}s + inverse {inv_s:.2f}s = "
+        f"{dec_mps:.2f} MP/s (C baseline {DEC_BASELINE_MPS})")
+
     print(json.dumps({
         "metric": "encode_4k_lossless_throughput",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 3),
+        "decode_mps": round(dec_mps, 3),
+        "decode_vs_baseline": round(dec_mps / DEC_BASELINE_MPS, 3),
+        "warmup_seconds": round(warmup_s, 1),
     }))
 
 

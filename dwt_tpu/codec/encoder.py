@@ -101,6 +101,7 @@ class _Segs:
 
     def __init__(self, pyr: Pyramid):
         from ..hilbert import padded_layout
+        from ..ops.pallas_compact import E
 
         _, valid, sizes_p = padded_layout(pyr, ALIGN)
         self.L = pyr.levels
@@ -117,6 +118,35 @@ class _Segs:
         self.valid_np = valid[self.root_pad:]
         self.idx_local = jnp.asarray(
             np.concatenate([np.arange(s, dtype=np.int32) for s in self.sizes]))
+
+        # Static E-element chunk table (units of the Pallas compaction
+        # kernels; also the granularity of stage 1's per-chunk histograms).
+        # Chunks never cross segment boundaries; lengths are 512-multiples.
+        ch_start, ch_len, ch_level = [], [], []
+        lv_base, lv_cnt = [], []
+        for l, (st, sz) in enumerate(zip(self.starts, self.sizes)):
+            lv_base.append(len(ch_start))
+            o = 0
+            while o < sz:
+                ln = min(E, sz - o)
+                ch_start.append(st + o)
+                ch_len.append(ln)
+                ch_level.append(l)
+                o += ln
+            lv_cnt.append(len(ch_start) - lv_base[-1])
+        self.nchunk = len(ch_start)
+        self.ch_start = tuple(ch_start)
+        self.ch_len = tuple(ch_len)
+        self.ch_level = tuple(ch_level)
+        self.level_chunk_base = tuple(lv_base)
+        self.level_nchunk = tuple(lv_cnt)
+        self.ch_valid = tuple(
+            int(self.valid_np[s : s + ln].sum())
+            for s, ln in zip(ch_start, ch_len))
+        # 512-block -> chunk id (for stage-1 hierarchical chunk sums).
+        self.block_chunk = np.repeat(
+            np.arange(self.nchunk, dtype=np.int32),
+            [ln // 512 for ln in ch_len])
 
     def valid(self):
         return jnp.asarray(self.valid_np)
@@ -145,18 +175,29 @@ class _Segs:
         bases = jnp.stack([c[:, self.starts[l]] for l in range(self.L)], axis=1)
         return c - self.bcast(bases)
 
-    def prev_monotone(self, mask, val, seg_base):
-        """Per element: `val` at the latest earlier masked element of the
-        same segment, or -1.  Requires `val` nondecreasing within each
-        segment at masked positions (true for prefix counts).  Implemented
-        as one exclusive cummax of val + per-segment base offsets.
-        """
-        key = jnp.where(mask, seg_base + val, -1)
-        m = jax.lax.cummax(key, axis=1)
-        ex = jnp.concatenate(
-            [jnp.full_like(m[:, :1], -1), m[:, :-1]], axis=1)
-        has = ex >= seg_base
-        return has, jnp.where(has, ex - seg_base, 0)
+    def chunk_sum(self, mask):
+        """(C, n) bool -> (C, nchunk) int32 per-chunk counts, via 512-block
+        partial sums + a static sorted scatter-add."""
+        b512 = mask.reshape(mask.shape[0], -1, 512).sum(-1, dtype=jnp.int32)
+        ids = jnp.asarray(self.block_chunk)
+        return jnp.zeros((mask.shape[0], self.nchunk), jnp.int32).at[
+            :, ids].add(b512, indices_are_sorted=True)
+
+    def level_sum(self, x_ck):
+        """(C, nchunk) -> (C, L) by summing each level's chunk span."""
+        return jnp.stack(
+            [x_ck[:, b : b + c].sum(axis=1, dtype=jnp.int32)
+             for b, c in zip(self.level_chunk_base, self.level_nchunk)],
+            axis=1)
+
+    def level_excl_cumsum(self, x_ck, axis=1):
+        """Exclusive cumsum over the chunk axis, restarting per level.
+        Works on (C, nchunk) or (C, nchunk, P)."""
+        parts = []
+        for b, c in zip(self.level_chunk_base, self.level_nchunk):
+            sl = x_ck[:, b : b + c]
+            parts.append(jnp.cumsum(sl, axis=1) - sl)
+        return jnp.concatenate(parts, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -185,25 +226,31 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
 
     idx = jnp.broadcast_to(segs.idx_local[None, :], q.shape)
 
-    # Per-(chunk, plane) stats via a rolled loop over planes: one iteration's
-    # temporaries live at a time (the unrolled form OOMs HBM at 4K), and the
-    # traced upper bound skips planes beyond the image's actual maximum.
+    # Per-(level-chunk, plane) and per-(E-chunk, plane) stats via a rolled
+    # loop over planes: one iteration's temporaries live at a time (the
+    # unrolled form OOMs HBM at 4K), and the traced upper bound skips
+    # planes beyond the image's actual maximum.  The E-chunk histograms
+    # feed the Pallas compaction kernels' per-unit rank carries.
     def stat_body(p, acc):
-        nS, nZ, trailZ = acc
+        nS, nZ, trailZ, nS_ck, nZ_ck = acc
         maskS = (q == p) & valid
         maskZ = (q < p) & valid
-        s_cnt = segs.reduce_sum(maskS.astype(jnp.int32))
-        z_cnt = segs.reduce_sum(maskZ.astype(jnp.int32))
+        s_ck = segs.chunk_sum(maskS)
+        z_ck = segs.chunk_sum(maskZ)
+        s_cnt = segs.level_sum(s_ck)
+        z_cnt = segs.level_sum(z_ck)
         lastS = segs.reduce_max(jnp.where(maskS, idx, -1))
         z_upto = segs.reduce_sum(
             (maskZ & (idx <= segs.bcast(lastS))).astype(jnp.int32))
         return (nS.at[:, :, p].set(s_cnt), nZ.at[:, :, p].set(z_cnt),
-                trailZ.at[:, :, p].set(z_cnt - z_upto))
+                trailZ.at[:, :, p].set(z_cnt - z_upto),
+                nS_ck.at[:, :, p].set(s_ck), nZ_ck.at[:, :, p].set(z_ck))
 
     zero_clp = jnp.zeros((C, L, PMAX), jnp.int32)
-    nS, nZ, trailZ = jax.lax.fori_loop(
+    zero_ckp = jnp.zeros((C, segs.nchunk, PMAX), jnp.int32)
+    nS, nZ, trailZ, nS_ck, nZ_ck = jax.lax.fori_loop(
         0, jnp.minimum(planes_max, PMAX), stat_body,
-        (zero_clp, zero_clp, zero_clp))
+        (zero_clp, zero_clp, zero_clp, zero_ckp, zero_ckp))
     nums = jnp.asarray(segs.real, jnp.int32)
     nRef = jnp.where(
         jnp.arange(PMAX)[None, None, :] < planes_max,
@@ -284,6 +331,15 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
         carry_end=carry_end,
         nref_total=nref_total,
         T=T,
+        order=order.astype(jnp.int32),
+        nS_ck=nS_ck,
+        nZ_ck=nZ_ck,
+        # Schedule-ordered step views used by the dense token finisher and
+        # the kernel metadata (all (S,) in schedule order).
+        base_sched=base_s,
+        nS_sched=jnp.where(valid_s, nS_s, 0),
+        cin_sched=carry_in_s,
+        valid_sched=valid_s,
     )
     return lin, stats
 
@@ -292,28 +348,163 @@ def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
 # Stage 2: token build + VLI order scan + bit packing
 # ---------------------------------------------------------------------------
 
-def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
-    """Scatter every token (value, rawbits, is_vli) into rank order."""
-    total, pix0 = pyr.total, pyr.pixels[0]
-    L, C = pyr.levels, channels
-    segs = _Segs(pyr)
-    DUMP = padded_T  # masked scatters land in a spare slot
-
-    tok_val = jnp.zeros(padded_T + 1, jnp.int32)
-    tok_raw = jnp.zeros(padded_T + 1, jnp.int32)  # raw bit count; 0 + !vli = pad
-    tok_vli = jnp.zeros(padded_T + 1, jnp.bool_)
-
-    root = lin[:, :pix0]
+def _detail_q(lin, segs):
+    """(C, n) significance plane per padded detail element (-1 = zero/pad)."""
     det = lin[:, segs.root_pad :]
     valid = segs.valid()[None, :]
     mag = jnp.abs(det)
-    sgn = (det < 0).astype(jnp.int32)
     q = jnp.where((mag > 0) & valid, _ilog2_i32(mag), -1)
-    q = jnp.where(valid, q, -1)
+    return jnp.where(valid, q, -1), mag, det, valid
+
+
+def _packed_elems(lin, segs):
+    """(1, C*n + E) int32 sign|mag element stream for the Pallas kernels:
+    bits 0..29 = |coeff|, bit 30 = sign, -1 = padding/invalid."""
+    from ..ops.pallas_compact import E
+
+    det = lin[:, segs.root_pad :]
+    valid = segs.valid()[None, :]
+    vm = jnp.where(valid, jnp.abs(det) | (det < 0).astype(jnp.int32) << 30,
+                   -1).astype(jnp.int32)
+    return jnp.concatenate(
+        [vm.reshape(1, -1), jnp.full((1, E), -1, jnp.int32)], axis=1)
+
+
+def _unit_common(stats, segs, pyr: Pyramid, channels: int):
+    """Per-unit (schedule step x E-element chunk) indexing shared by both
+    compaction kernels.  Unit order = schedule order of steps (stream
+    order) x chunk order — the monotone-output precondition of the
+    sequential-grid kernels.  All arrays are (U,) int32 device values;
+    U = C * PMAX * nchunk is static."""
+    L, C = pyr.levels, channels
+    order = stats["order"]  # (S,) flat (c, l, p) ids in schedule order
+    c_s = order // (L * PMAX)
+    l_s = (order // PMAX) % L
+    p_s = order % PMAX
+    npl = jnp.asarray(segs.level_nchunk, jnp.int32)
+    ups = npl[l_s]
+    ubase = jnp.cumsum(ups) - ups
+    U = C * PMAX * segs.nchunk
+    u = jnp.arange(U, dtype=jnp.int32)
+    sidx = (jnp.searchsorted(ubase, u, side="right") - 1).astype(jnp.int32)
+    k = u - ubase[sidx]
+    c_u, l_u, p_u = c_s[sidx], l_s[sidx], p_s[sidx]
+    chunkid = jnp.asarray(segs.level_chunk_base, jnp.int32)[l_u] + k
+    elem = (c_u * segs.n + jnp.asarray(segs.ch_start, jnp.int32)[chunkid])
+    elen = jnp.asarray(segs.ch_len, jnp.int32)[chunkid]
+    flat_step = order[sidx]
+    flat_ck = (c_u * segs.nchunk + chunkid) * PMAX + p_u
+    valid_u = stats["valid_sched"][sidx]
+    return dict(elem=elem, elen=elen, p=p_u, flat_step=flat_step,
+                flat_ck=flat_ck, valid=valid_u)
+
+
+def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
+                       padded_T: int):
+    """Kernel-A path: compact (zpfx, sign) pairs into the token buffer."""
+    from ..ops import pallas_compact as pc
+
+    segs = _Segs(pyr)
+    com = _unit_common(stats, segs, pyr, channels)
+    scar = segs.level_excl_cumsum(stats["nS_ck"])
+    zcar = segs.level_excl_cumsum(stats["nZ_ck"])
+    nS_u = stats["nS_ck"].reshape(-1)[com["flat_ck"]]
+    u_tok0 = (stats["step_base"].reshape(-1)[com["flat_step"]]
+              + 2 * scar.reshape(-1)[com["flat_ck"]])
+    tokbuf = padded_T + pc.WTOK_BIG + 256
+    ws = jnp.clip(u_tok0 & ~jnp.int32(127), 0, tokbuf - pc.WTOK_BIG)
+    meta = jnp.stack([
+        com["elem"], com["elen"], com["p"], ws, u_tok0 - ws,
+        zcar.reshape(-1)[com["flat_ck"]],
+        jnp.where(com["valid"], nS_u, 0),
+        jnp.zeros_like(nS_u),
+    ], axis=1).astype(jnp.int32)
+    vmag = _packed_elems(lin, segs)
+    tok0 = jnp.zeros((1, tokbuf), jnp.int32)
+    out = pc.compact_tokens_pallas(vmag, meta, tok0)
+    return out[0, :padded_T], vmag, com
+
+
+def _sig_tokens_xla(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
+    """Fallback (CPU and DWT_NO_PALLAS): scatter the same (zpfx, sign)
+    values at their token slots with XLA scatters."""
+    C = channels
+    segs = _Segs(pyr)
+    DUMP = padded_T
+    q, _, det, valid = _detail_q(lin, segs)
+    sgn = (det < 0).astype(jnp.int32)
+    step_base = stats["step_base"]
+
+    def plane_body(p, acc):
+        zpfx_acc, srank_acc = acc
+        maskS = (q == p) & valid
+        maskZ = (q < p) & valid
+        zpfx = segs.excl_cumsum(maskZ.astype(jnp.int32))
+        ks = segs.excl_cumsum(maskS.astype(jnp.int32))
+        base = segs.bcast(step_base[:, :, p])
+        return (jnp.where(maskS, zpfx, zpfx_acc),
+                jnp.where(maskS, base + 2 * ks, srank_acc))
+
+    zpfx_acc, srank_acc = jax.lax.fori_loop(
+        0, jnp.minimum(stats["planes_max"], PMAX), plane_body,
+        (jnp.zeros((C, segs.n), jnp.int32),
+         jnp.full((C, segs.n), DUMP, jnp.int32)))
+
+    tok = jnp.zeros(padded_T + 1, jnp.int32)
+    sr = srank_acc.reshape(-1)
+    tok = tok.at[sr].set(zpfx_acc.reshape(-1))
+    gr = jnp.where(srank_acc != DUMP, srank_acc + 1, DUMP).reshape(-1)
+    tok = tok.at[gr].set(sgn.reshape(-1))
+    return tok[:padded_T]
+
+
+def _finish_tokens(tok0, lin, stats, pyr: Pyramid, channels: int,
+                   padded_T: int):
+    """Dense completion of the token arrays — no per-coefficient scatters.
+
+    ``tok0`` holds zpfx at even significance slots and signs at odd slots
+    (from kernel A or the XLA fallback).  Everything else is derived
+    densely: step membership via scatter-max + cummax forward fills over
+    the (tiny) schedule-step tables, run values as diffs of consecutive
+    zpfx slots (+ the step's cross-step zero carry at its first slot), and
+    the root/plane-count/ref-run/flush tokens as small scatters.
+    """
+    C = channels
+    pix0 = pyr.pixels[0]
+    DUMP = padded_T
+
+    t = jnp.arange(padded_T, dtype=jnp.int32)
+    base_sched = stats["base_sched"]
+    nS_sched = stats["nS_sched"]
+    sigend_sched = base_sched + 2 * nS_sched
+    bpos = jnp.clip(base_sched, 0, padded_T - 1)
+    sb_f = jax.lax.cummax(
+        jnp.zeros(padded_T, jnp.int32).at[bpos].max(base_sched))
+    se_f = jax.lax.cummax(
+        jnp.zeros(padded_T, jnp.int32).at[bpos].max(sigend_sched))
+    steps0 = stats["planes_base"] + C
+    in_sig = (t >= steps0) & (t < se_f)
+    even = ((t - sb_f) & 1) == 0
+    first = t == sb_f
+    cin_add = jnp.zeros(padded_T, jnp.int32).at[bpos].add(
+        jnp.where(stats["valid_sched"] & (nS_sched > 0),
+                  stats["cin_sched"], 0))
+    prev2 = jnp.concatenate([jnp.zeros(2, jnp.int32), tok0[:-2]])
+    runval = tok0 - jnp.where(first, 0, prev2) + cin_add
+
+    tok_val = jnp.where(in_sig & even, runval, tok0)
+    tok_raw = jnp.where(in_sig & ~even, 1, 0).astype(jnp.int32)
+    tok_vli = in_sig & even
+
+    # spare DUMP slot for masked small scatters
+    tok_val = jnp.concatenate([tok_val, jnp.zeros(1, jnp.int32)])
+    tok_raw = jnp.concatenate([tok_raw, jnp.zeros(1, jnp.int32)])
+    tok_vli = jnp.concatenate([tok_vli, jnp.zeros(1, jnp.bool_)])
 
     # --- root band tokens (encode.c:97-110) -------------------------------
+    root = lin[:, :pix0]
     root_cnt, root_base = stats["root_cnt"], stats["root_base"]
-    nnzpfx = _excl_cumsum((root != 0).astype(jnp.int32), axis=1)  # (C, pix0)
+    nnzpfx = _excl_cumsum((root != 0).astype(jnp.int32), axis=1)
     i_ix = jnp.arange(pix0, dtype=jnp.int32)[None, :]
     tok_val = tok_val.at[root_base].set(root_cnt)
     tok_vli = tok_vli.at[root_base].set(True)
@@ -333,60 +524,11 @@ def _build_tokens(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
     tok_val = tok_val.at[pr].set(stats["planes"])
     tok_vli = tok_vli.at[pr].set(True)
 
-    # --- bitplane tokens ---------------------------------------------------
-    step_base = stats["step_base"]  # (C, L, PMAX)
-    carry_in = stats["carry_in"]
-    nS = stats["nS"]
-    refrun_ok = stats["refrun_ok"].astype(jnp.int32)
-
-    n = segs.n
-    # Per-segment base offsets for the monotone prev-value cummax.  zpfx
-    # stays below the (pow2-rounded) max segment size; seg bases keep
-    # running maxima from leaking across segments.  int32 suffices while
-    # (L+1) * BIG < 2^31 (images up to ~8K); int64 beyond.
-    big = 1 << max(s.bit_length() for s in segs.sizes)
-    base_dtype = jnp.int32 if (L + 1) * big < 2**31 else jnp.int64
-    seg_base = segs.bcast(jnp.broadcast_to(
-        (jnp.arange(L, dtype=base_dtype) * big + 1)[None, :], (C, L)))
-
-    # Accumulated per-coefficient S-token fields (each coefficient is newly
-    # significant at exactly one plane).  Rolled loop over planes: bounds
-    # live temporaries (unrolled form OOMs HBM at 4K) and the traced upper
-    # bound skips planes beyond the image's maximum.
-    def plane_body(p, acc):
-        run_acc, srank_acc = acc
-        maskS = (q == p) & valid
-        maskZ = (q < p) & valid
-        zpfx = segs.excl_cumsum(maskZ.astype(jnp.int32))
-        ks = segs.excl_cumsum(maskS.astype(jnp.int32))
-        has_prev, prev_zpfx = segs.prev_monotone(
-            maskS, zpfx.astype(base_dtype), seg_base)
-        cin = segs.bcast(carry_in[:, :, p])
-        runval = zpfx - jnp.where(has_prev, prev_zpfx.astype(jnp.int32), 0) \
-            + jnp.where(has_prev, 0, cin)
-        base = segs.bcast(step_base[:, :, p])
-        run_acc = jnp.where(maskS, runval, run_acc)
-        srank_acc = jnp.where(maskS, base + 2 * ks, srank_acc)
-        return run_acc, srank_acc
-
-    run_acc, srank_acc = jax.lax.fori_loop(
-        0, jnp.minimum(stats["planes_max"], PMAX), plane_body,
-        (jnp.zeros((C, n), jnp.int32), jnp.full((C, n), DUMP, jnp.int32)))
-
-    # significance run + sign tokens: one scatter each over all coefficients
-    sr = srank_acc.reshape(-1)
-    tok_val = tok_val.at[sr].set(run_acc.reshape(-1))
-    tok_vli = tok_vli.at[sr].set(True)
-    gr = jnp.where(srank_acc != DUMP, srank_acc + 1, DUMP).reshape(-1)
-    tok_val = tok_val.at[gr].set(sgn.reshape(-1))
-    tok_raw = tok_raw.at[gr].set(1)
-
-    # ref-pass leading run tokens: one per step where pending zeros > 0
-    rr_rank = jnp.where(stats["refrun_ok"], step_base + 2 * nS, DUMP).reshape(-1)
+    # --- ref-pass leading run tokens + final flush (rle_flush) ------------
+    rr_rank = jnp.where(stats["refrun_ok"],
+                        stats["step_base"] + 2 * stats["nS"], DUMP).reshape(-1)
     tok_val = tok_val.at[rr_rank].set(stats["refrun_val"].reshape(-1))
     tok_vli = tok_vli.at[rr_rank].set(True)
-
-    # final flush token (rle_flush, encode.c:221)
     tok_val = tok_val.at[stats["T"] - 1].set(stats["carry_end"])
     tok_vli = tok_vli.at[stats["T"] - 1].set(True)
 
@@ -469,13 +611,15 @@ def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
 
 def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
                pyr: Pyramid, channels: int, padded_T: int, nwords: int):
-    """Compact-token codewords + refinement bits -> packed u32 stream words.
+    """Compact-token codewords -> packed u32 stream words (+ offsets).
 
     Compact tokens (runs/signs/roots/flush) pack via prefix-sum offsets and
     <=3 word scatter-add contributions each.  Refinement bits are injected
     between steps: each step's ref-pass range starts at
     off_base[step_end] + refpfx(step); the j-th refined coefficient of the
-    step owns exactly bit (refstart + j).
+    step owns exactly bit (refstart + j).  The refinement bits themselves
+    are written by the caller (Pallas kernel B on TPU, _pack_ref_bits
+    otherwise).
     """
     C = channels
     s = orders
@@ -536,14 +680,47 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
         words = words.at[widx + 1].add(c1, indices_are_sorted=True)
         words = words.at[widx + 2].add(c2, indices_are_sorted=True)
 
-    words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
     # Exact stream length in int64 (a plain sum, independent of the int32
     # offset chain): lets the host detect int32 bit-offset overflow — if
-    # this is >= 2^31 the packed words above are invalid and the encoder
-    # raises (single streams are capped at 2^31 bits; use the tiled
-    # container beyond that).
+    # this is >= 2^31 the packed words are invalid and the encoder raises
+    # (single streams are capped at 2^31 bits; use the tiled container
+    # beyond that).
     exact_bits = jnp.sum(nbits, dtype=jnp.int64) + stats["nref_total"]
-    return words, exact_bits, off
+    return words, exact_bits, off, off_base
+
+
+def _refstart(stats, off_base, pyr: Pyramid, padded_T: int):
+    """(C, L, PMAX) final-stream bit position of each step's first
+    refinement bit: token bits before the step's end + refinement bits of
+    earlier steps (raw bits, no coder state — encode.c:84-93)."""
+    end_idx = jnp.clip(stats["step_end"], 0, padded_T - 1)
+    return off_base[end_idx] + stats["refpfx"]
+
+
+def _ref_bits_pallas(words, off_base, vmag, com, stats, pyr: Pyramid,
+                     channels: int, padded_T: int):
+    """Kernel-B path: OR refinement bits straight into the stream words."""
+    from ..ops import pallas_compact as pc
+
+    segs = _Segs(pyr)
+    p_ix = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
+    vc = jnp.asarray(segs.ch_valid, jnp.int32)[None, :, None]
+    nR_ck = jnp.where(p_ix < stats["planes_max"],
+                      vc - stats["nS_ck"] - stats["nZ_ck"], 0)
+    rcar = segs.level_excl_cumsum(nR_ck)
+    refstart = _refstart(stats, off_base, pyr, padded_T).reshape(-1)
+    u_bit0 = refstart[com["flat_step"]] + rcar.reshape(-1)[com["flat_ck"]]
+    nR_u = nR_ck.reshape(-1)[com["flat_ck"]]
+    nwords = words.shape[0]
+    ws = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0, nwords - pc.WREF)
+    meta = jnp.stack([
+        com["elem"], com["elen"], com["p"], ws, u_bit0 - 32 * ws,
+        jnp.zeros_like(nR_u),
+        jnp.where(com["valid"], nR_u, 0),
+        jnp.zeros_like(nR_u),
+    ], axis=1).astype(jnp.int32)
+    out = pc.scatter_refbits_pallas(vmag, meta, words.reshape(1, -1))
+    return out.reshape(-1)
 
 
 def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
@@ -554,17 +731,9 @@ def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
     refpfx — no tokens, no VLI state involved (they are raw bits,
     encode.c:84-93).
     """
-    C = channels
-    pix0 = pyr.pixels[0]
     segs = _Segs(pyr)
-    det = lin[:, segs.root_pad :]
-    valid = segs.valid()[None, :]
-    mag = jnp.abs(det)
-    q = jnp.where((mag > 0) & valid, _ilog2_i32(mag), -1)
-    q = jnp.where(valid, q, -1)
-
-    end_idx = jnp.clip(stats["step_end"], 0, off_base.shape[0] - 1)
-    refstart = off_base[end_idx] + stats["refpfx"]  # (C, L, PMAX)
+    q, mag, _, valid = _detail_q(lin, segs)
+    refstart = _refstart(stats, off_base, pyr, off_base.shape[0])
     DUMPW = words.shape[0] - 1
 
     def body(p, words):
@@ -579,6 +748,34 @@ def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
 
     return jax.lax.fori_loop(
         0, jnp.minimum(stats["planes_max"], PMAX), body, words)
+
+
+def _stage2_pipeline(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
+    """Full device entropy-coding stage: tokens -> VLI orders -> packed
+    words (+ refinement bits) -> layer boundaries.
+
+    On TPU the two per-coefficient placement steps run as Pallas MXU
+    compaction kernels (ops/pallas_compact.py); elsewhere (CPU tests,
+    DWT_NO_PALLAS=1) XLA scatters produce bit-identical results.
+    """
+    C = channels
+    nwords = _stream_words(pyr, C, padded_T)
+    use_pallas = _use_pallas_pack(padded_T)
+    if use_pallas:
+        tok0, vmag, com = _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
+    else:
+        tok0 = _sig_tokens_xla(lin, stats, pyr, C, padded_T)
+    tv, tr, tf = _finish_tokens(tok0, lin, stats, pyr, C, padded_T)
+    orders = _vli_orders(tv, tf, padded_T)
+    words, total_bits, off, off_base = _pack_bits(
+        lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)
+    if use_pallas:
+        words = _ref_bits_pallas(words, off_base, vmag, com, stats, pyr, C,
+                                 padded_T)
+    else:
+        words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
+    layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
+    return words, total_bits, layer_ends
 
 
 # ---------------------------------------------------------------------------
@@ -660,19 +857,9 @@ class Encoder:
         fn = self._stage2.get(padded_T)
         if fn is None:
             pyr, C = self.pyr, self.channels
-
-            nwords = _stream_words(pyr, C, padded_T)
-
-            @jax.jit
-            def stage2(lin, stats):
-                tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
-                orders = _vli_orders(tv, tf, padded_T)
-                words, total_bits, off = _pack_bits(
-                    lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)
-                layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
-                return words, total_bits, layer_ends
-
-            self._stage2[padded_T] = fn = stage2
+            self._stage2[padded_T] = fn = jax.jit(
+                functools.partial(_stage2_pipeline, pyr=pyr, channels=C,
+                                  padded_T=padded_T))
         return fn
 
     def header(self) -> bytes:

@@ -38,9 +38,8 @@ from ..geometry import compute_pyramid
 from ..hilbert import padded_layout
 from ..parallel.tiled import allocate_budget
 from . import decoder as _decoder
-from .encoder import (ALIGN, _bucket, _build_tokens, _check_planes,
-                      _check_stream_bits, _layer_boundaries, _pack_bits,
-                      _stream_words, _transform_and_stats, _vli_orders)
+from .encoder import (ALIGN, _bucket, _check_planes, _check_stream_bits,
+                      _stage2_pipeline, _transform_and_stats)
 
 MAGIC = b"WT"
 VERSION = 1
@@ -69,17 +68,8 @@ class BatchEncoder:
         fn = self._stage2.get(padded_T)
         if fn is None:
             pyr, C = self.pyr, self.channels
-
-            nwords = _stream_words(pyr, C, padded_T)
-
-            def one(lin, stats):
-                tv, tr, tf = _build_tokens(lin, stats, pyr, C, padded_T)
-                orders = _vli_orders(tv, tf, padded_T)
-                words, total_bits, off = _pack_bits(
-                    lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)
-                layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
-                return words, total_bits, layer_ends
-
+            one = functools.partial(_stage2_pipeline, pyr=pyr, channels=C,
+                                    padded_T=padded_T)
             self._stage2[padded_T] = fn = jax.jit(jax.vmap(one))
         return fn
 

@@ -48,6 +48,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Default for the wrappers' interpret= (tests force-run the kernels on CPU
+# by flipping this plus the size constants; see tests/test_pallas_compact.py).
+INTERPRET = False
+
 # Elements per unit chunk.  Metadata arrays are O(total/E * PMAX) — at 64K
 # they stay a few thousand entries (SMEM-friendly scalar prefetch).
 E = 65536
@@ -162,7 +166,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                 mS = ok & (sh == 1)
                 mZ = ok & (sh == 0)
                 mSi = mS.astype(jnp.int32)
-                cnt = jnp.sum(mSi)
+                cnt = jnp.sum(mSi, dtype=jnp.int32)
 
                 @pl.when(cnt > 0)
                 def _():
@@ -189,7 +193,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                                 (base0 // SUBAL) * SUBAL, wtok - rows)
                             _onehot_place(win, base, rows, tgt, vals, False)
 
-                return (zcum + jnp.sum(mZ.astype(jnp.int32)), scum + cnt)
+                return (zcum + jnp.sum(mZ, dtype=jnp.int32), scum + cnt)
 
             jax.lax.fori_loop(0, E // SUBA, sub, (meta_ref[b, 5], jnp.int32(0)))
             cp_out = pltpu.make_async_copy(
@@ -206,12 +210,14 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
             run(win_b, WTOK_BIG)
 
 
-def compact_tokens_pallas(vmag, meta, tok0, interpret: bool = False):
+def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
     """Accumulate significance-token values into the (1, TBUF) int32 token
     buffer.  ``vmag``: (1, NE) packed sign|mag elements; ``meta``: (U, 8)
     int32 per-unit metadata in stream order; ``tok0``: zero-initialized
     buffer including >= WTOK_BIG + 128 slack beyond the last real token.
     """
+    if interpret is None:
+        interpret = INTERPRET
     U = meta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -269,7 +275,7 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
             ok, mag, sh = _masks(v, meta_ref[b, 2], s * SUBB, meta_ref[b, 1])
             mR = ok & (sh > 1)
             mRi = mR.astype(jnp.int32)
-            cnt = jnp.sum(mRi)
+            cnt = jnp.sum(mRi, dtype=jnp.int32)
 
             @pl.when(cnt > 0)
             def _():
@@ -294,11 +300,13 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
         cp_out.wait()
 
 
-def scatter_refbits_pallas(vmag, meta, words, interpret: bool = False):
+def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
     """OR every refinement bit into the packed stream words at its final
     position.  ``words``: (1, nwords) uint32 (already holding the compact
     token codewords); metadata column 4 carries u_bit0 - 32 * window_start.
     """
+    if interpret is None:
+        interpret = INTERPRET
     U = meta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+INTERPRET = False  # test hook: run the kernel in interpret mode (CPU)
+
 BLOCKN = 2048     # tokens per grid step
 SUB = 256         # tokens per MXU sub-chunk
 SUBWIN = 768      # 514 (max word span of a 256-token sub-chunk) + 128 + pad
@@ -119,13 +121,16 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
     copy_out.wait()
 
 
-def pack_words_pallas(widx, c0, c1, c2, nwords: int, interpret: bool = False):
+def pack_words_pallas(widx, c0, c1, c2, nwords: int,
+                      interpret: bool | None = None):
     """words[nwords] with each token's 3 word contributions accumulated.
 
     widx must be int32 nondecreasing; len(widx) a multiple of BLOCKN; the
     last (WIN + 256) words of the buffer must be slack (never real stream
     words) so the final block's window stays in bounds.
     """
+    if interpret is None:
+        interpret = INTERPRET
     n = widx.shape[0]
     nblk = n // BLOCKN
     nwords_pad = (nwords + 511) // 512 * 512  # lane-aligned HBM width

@@ -108,37 +108,66 @@ def interleaved_to_pyramid_perm(pyr: Pyramid) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _halo_plan(pyr: Pyramid, n_dev: int):
-    """Which transform steps run with halo exchange vs gathered tail.
+    """(n_halo, H_pad): how many transform steps run with halo exchange,
+    and the padded row count the sharded buffer must use.
 
     Transform step t (t = 0 .. levels-1) lifts the dyadic grid of stride
     2^t.  The halo path needs the per-device active row count R/2^t to be
-    even so parity and counts are uniform across devices.
+    uniform and even, i.e. R divisible by 2^(t+1).  Arbitrary heights are
+    supported by padding rows to a multiple of n_dev * 2^k (the pad rows
+    carry garbage; boundary masks in the column pass apply the reference's
+    odd/even-N edge rules at the TRUE image edge, so results stay
+    bit-exact — the pyramid gather never reads pad rows).  k is capped so
+    the pad overhead stays below ~25% of the finest level.
     """
     H = pyr.height
-    if H % n_dev:
-        return 0  # no even row split: fully gathered (correctness fallback)
-    R = H // n_dev
-    t = 0
-    while t < pyr.levels and R % (2 << t) == 0:
-        t += 1
-    return t
+    best = (0, -(-H // n_dev) * n_dev)
+    for k in range(pyr.levels, -1, -1):
+        q = n_dev << k
+        h_pad = -(-H // q) * q
+        # Deepest k whose row padding stays below ~8% wall-time overhead
+        # (every device processes h_pad/n_dev rows).  The replicated
+        # coarse tail beyond level k is only ~1/4^k of the total work, so
+        # trading tail depth for low padding wins.
+        if h_pad - H <= max(H // 12, n_dev * 2 - 1):
+            best = (k, h_pad)
+            break
+    return best
+
+
+def pad_rows(x, pyr: Pyramid, n_dev: int):
+    """Pad (H, W, C) to the halo plan's (H_pad, W, C).  Pad rows carry
+    zeros; they never influence real outputs (see halo_dwt2d_fwd)."""
+    _, h_pad = _halo_plan(pyr, n_dev)
+    if x.shape[0] == h_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((h_pad - x.shape[0],) + x.shape[1:], x.dtype)], axis=0)
 
 
 def halo_dwt2d_fwd(x, mesh: Mesh, pyr: Pyramid, axis_name: str = "y"):
     """Forward multi-level 2-D DWT of a row-sharded image.
 
-    ``x``: (H, W, C) int32, sharded P(axis_name, None, None) over `mesh`.
-    Returns (fine, coarse): ``fine`` is the interleaved-layout sharded
-    buffer holding all halo-level results; ``coarse`` is the replicated
-    deinterleaved transform of the remaining levels' LL image (empty-level
-    case: coarse is the full pyramid result and fine is ignored).
-    Reassemble with :func:`assemble_pyramid`.
+    ``x``: (H_pad, W, C) int32 (see :func:`pad_rows`), sharded
+    P(axis_name, None, None) over `mesh`.  Returns (fine, coarse):
+    ``fine`` is the interleaved-layout sharded buffer holding all
+    halo-level results; ``coarse`` is the replicated deinterleaved
+    transform of the remaining levels' LL image.  Reassemble with
+    :func:`assemble_pyramid`.
+
+    Bit-exactness on arbitrary geometries: the active dyadic grid of
+    level t (rows = 0 mod 2^t) has exactly heights[L-t] REAL rows, all
+    inside the unpadded image; per-row masks apply the reference's edge
+    rules (cdf53.h:12-23 — even-N last-odd clamp, odd-N last-even
+    no-update) at the true boundary, so pad rows only ever receive
+    garbage, never contribute to a real row.
     """
     n_dev = mesh.shape[axis_name]
-    n_halo = _halo_plan(pyr, n_dev)
+    n_halo, h_pad = _halo_plan(pyr, n_dev)
     L = pyr.levels
-    H, W, C = pyr.height, pyr.width, x.shape[-1]
-    R = H // n_dev if H % n_dev == 0 else None
+    W = pyr.width
+    assert x.shape[0] == h_pad, (x.shape, h_pad)
+    Rb = h_pad // n_dev
 
     def shard_fn(xb):
         idx = jax.lax.axis_index(axis_name)
@@ -146,43 +175,47 @@ def halo_dwt2d_fwd(x, mesh: Mesh, pyr: Pyramid, axis_name: str = "y"):
         for t in range(n_halo):
             s = 1 << t
             h_act, w_act = pyr.heights[L - t], pyr.widths[L - t]
-            # Row pass: local, on active rows, strided active columns.
+            n_odd = h_act // 2
+            n_even = h_act - n_odd
+            n_upd = n_even if h_act % 2 == 0 else n_even - 1
+            # Row pass: local, on active rows (incl. pad rows — harmless),
+            # strided active columns.
             rows = out[::s]
             rows = _lift_fwd_strided(rows, 1, s, w_act)
             out = out.at[::s].set(rows)
-            # Column pass with halo exchange, on active columns only (the
-            # in-between columns hold finer-level details and must not be
-            # touched).  Active rows per device: R/s (even); global count
-            # h_act = n_dev * R/s (even).
+            # Column pass with halo exchange on the active dyadic grid.
+            # Per-device even/odd counts are uniform: Rb / 2^(t+1).
             ev = out[:: 2 * s, ::s]
             od = out[s :: 2 * s, ::s]
-            # predict: right neighbor of each odd row = next even row;
-            # the last odd on each device needs the NEXT device's first even.
-            first_ev = ev[:1]
+            ne = ev.shape[0]
+            jg = idx * ne + jnp.arange(ne)  # global even/odd grid index
+            # predict: right neighbor of odd j = even j+1; the last odd on
+            # each device needs the NEXT device's first even.  True-edge
+            # rule: odd j with j+1 >= n_even clamps to its own left even
+            # (cdf53.h:15-17; only j = n_odd-1 when h_act is even).
             recv_next = jax.lax.ppermute(
-                first_ev, axis_name,
+                ev[:1], axis_name,
                 [(i + 1, i) for i in range(n_dev - 1)])
-            # Global right edge (device n_dev-1): clamp to own last even
-            # (cdf53.h:15-17 even-N rule; h_act is even on the halo path).
-            right_tail = jnp.where(idx == n_dev - 1, ev[-1:], recv_next)
-            right = jnp.concatenate([ev[1:], right_tail], axis=0)
+            right = jnp.concatenate([ev[1:], recv_next], axis=0)
+            right = jnp.where((jg + 1 >= n_even)[:, None, None], ev, right)
             d = od - _tdiv(ev + right, 2)
-            # update: left neighbor of each even row = previous odd row;
-            # the first even needs the PREVIOUS device's last odd (already
-            # predicted).  Global top edge (device 0): clamp to own first
-            # odd (cdf53.h:19-20 s0 rule).
-            last_od = d[-1:]
+            # update: left neighbor of even j = odd j-1; the first even
+            # needs the PREVIOUS device's last odd (already predicted).
+            # Global top edge (j = 0): clamp to own first odd
+            # (cdf53.h:19-20 s0 rule).  Evens at/after n_upd keep their
+            # value (odd-N last-even rule + pad rows).
             recv_prev = jax.lax.ppermute(
-                last_od, axis_name,
+                d[-1:], axis_name,
                 [(i, i + 1) for i in range(n_dev - 1)])
             left_head = jnp.where(idx == 0, d[:1], recv_prev)
             left = jnp.concatenate([left_head, d[:-1]], axis=0)
             sc = ev + _tdiv(left + d, 4)
+            sc = jnp.where((jg < n_upd)[:, None, None], sc, ev)
             out = out.at[:: 2 * s, ::s].set(sc)
             out = out.at[s :: 2 * s, ::s].set(d)
         # Gather the coarse active grid and finish redundantly.
         S = 1 << n_halo
-        coarse_loc = out[::S, :: S][:, : pyr.widths[L - n_halo]]
+        coarse_loc = out[::S, ::S][:, : pyr.widths[L - n_halo]]
         coarse = jax.lax.all_gather(coarse_loc, axis_name, tiled=True)
         coarse = coarse[: pyr.heights[L - n_halo]]
         if n_halo < L:
@@ -199,25 +232,18 @@ def halo_dwt2d_fwd(x, mesh: Mesh, pyr: Pyramid, axis_name: str = "y"):
     return fn(x)
 
 
-def assemble_pyramid(fine, coarse, pyr: Pyramid, n_dev: int):
-    """Recombine halo-level (interleaved, sharded) and coarse (pyramid,
-    replicated) results into the standard deinterleaved pyramid layout.
+def halo_perm(pyr: Pyramid, n_dev: int) -> np.ndarray:
+    """Gather indices mapping the padded fine buffer (flattened
+    (H_pad, W)) to the deinterleaved pyramid layout (flattened (H, W)) for
+    the halo levels; coarse positions map to themselves (they are
+    overwritten from the replicated coarse result before gathering).
 
-    Host/test helper — the production encode path composes this mapping
-    into the linearization gather instead of materializing it.
+    Row index r of the (H, W) grid lives at flat index r * W + c in BOTH
+    layouts (pad rows only extend the buffer), so the permutation is the
+    interleave->pyramid map of the halo levels only.
     """
-    n_halo = _halo_plan(pyr, n_dev)
-    L = pyr.levels
-    out = np.asarray(fine).copy()
-    S = 1 << n_halo
-    hc, wc = pyr.heights[L - n_halo], pyr.widths[L - n_halo]
-    # Place the coarse pyramid back onto the dyadic grid positions.
-    out[::S, ::S][:hc, :wc] = np.asarray(coarse)
-    # The fine buffer now holds a fully interleaved-transform image whose
-    # deinterleaved form is the reference pyramid — except the coarse part
-    # is already deinterleaved.  Build the permutation for the fine levels
-    # only: run the interleave->pyramid map but stop at level L - n_halo.
-    H, W = pyr.height, pyr.width
+    n_halo, _ = _halo_plan(pyr, n_dev)
+    H, W, L = pyr.height, pyr.width, pyr.levels
     src = np.arange(H * W, dtype=np.int64).reshape(H, W)
     for l in range(L, L - n_halo, -1):
         h, w = pyr.heights[l], pyr.widths[l]
@@ -225,9 +251,27 @@ def assemble_pyramid(fine, coarse, pyr: Pyramid, n_dev: int):
         sub = np.concatenate([sub[:, 0::2], sub[:, 1::2]], axis=1)
         sub = np.concatenate([sub[0::2], sub[1::2]], axis=0)
         src[:h, :w] = sub
-    flat = out.reshape(H * W, -1)
-    res = flat[src.reshape(-1)].reshape(out.shape)
-    return res
+    return src.reshape(-1).astype(np.int64)
+
+
+def assemble_pyramid(fine, coarse, pyr: Pyramid, n_dev: int):
+    """Recombine halo-level (interleaved, sharded, row-padded) and coarse
+    (pyramid, replicated) results into the standard deinterleaved pyramid
+    layout (H, W, C).
+
+    Host/test helper — the production encode path composes this mapping
+    into the linearization gather instead of materializing it.
+    """
+    n_halo, _ = _halo_plan(pyr, n_dev)
+    L = pyr.levels
+    H, W = pyr.height, pyr.width
+    out = np.asarray(fine).copy()
+    S = 1 << n_halo
+    hc, wc = pyr.heights[L - n_halo], pyr.widths[L - n_halo]
+    # Place the coarse pyramid back onto the dyadic grid positions.
+    out[::S, ::S][:hc, :wc] = np.asarray(coarse)
+    flat = out.reshape(out.shape[0] * W, -1)
+    return flat[halo_perm(pyr, n_dev)].reshape((H, W) + out.shape[2:])
 
 
 # ---------------------------------------------------------------------------

@@ -20,13 +20,19 @@ def _mesh():
 
 
 @needs8
-@pytest.mark.parametrize("w,h", [(64, 64), (63, 64), (320, 256), (17, 1024)])
+@pytest.mark.parametrize("w,h", [
+    (64, 64), (63, 64), (320, 256), (17, 1024),
+    (64, 63), (64, 270), (640, 360), (1920, 1080),
+])
 def test_halo_dwt_bit_exact(rng, w, h):
-    """Sharded halo-exchanged transform == single-chip transform, exactly."""
+    """Sharded halo-exchanged transform == single-chip transform, exactly —
+    including heights not divisible by the device count (row padding +
+    true-edge boundary masks)."""
     img = rng.integers(-255, 256, (h, w, 3)).astype(np.int32)
     pyr = compute_pyramid(w, h)
     mesh = _mesh()
-    x = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("y", None, None)))
+    x = jax.device_put(tiled.pad_rows(jnp.asarray(img), pyr, 8),
+                       NamedSharding(mesh, P("y", None, None)))
     fine, coarse = tiled.halo_dwt2d_fwd(x, mesh, pyr, "y")
     got = tiled.assemble_pyramid(fine, coarse, pyr, 8)
     want = specmodel.dwt2d_fwd(img, pyr)
@@ -35,9 +41,20 @@ def test_halo_dwt_bit_exact(rng, w, h):
 
 @needs8
 def test_halo_dwt_uses_halo_path(rng):
-    """For pow2 sizes most levels must run the halo (ppermute) path."""
-    assert tiled._halo_plan(compute_pyramid(256, 1024), 8) >= 6
-    assert tiled._halo_plan(compute_pyramid(64, 63), 8) == 0  # fallback
+    """Real geometries must run most levels on the halo (ppermute) path.
+
+    The plan trades halo depth against row-padding overhead (<= ~8%): the
+    replicated coarse tail beyond depth k is ~1/4^k of the work, so e.g.
+    1080p stops at k=4 (pad 1080->1152) rather than k=6 (pad 1080->1280,
+    18% on every level).
+    """
+    assert tiled._halo_plan(compute_pyramid(256, 1024), 8)[0] >= 6
+    assert tiled._halo_plan(compute_pyramid(3840, 2160), 8)[0] >= 5
+    assert tiled._halo_plan(compute_pyramid(1920, 1080), 8)[0] >= 4
+    # non-divisible heights still get a deep halo path (was: 0 = fully
+    # replicated fallback in round 1)
+    assert tiled._halo_plan(compute_pyramid(64, 63), 8)[0] >= 2
+    assert tiled._halo_plan(compute_pyramid(64, 270), 8)[0] >= 2
 
 
 def test_allocate_budget_exact_fit():

@@ -205,14 +205,23 @@ class _Segs:
 # ---------------------------------------------------------------------------
 
 def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
-    total, pix0 = pyr.total, pyr.pixels[0]
-    L, C = pyr.levels, channels
-    segs = _Segs(pyr)
+    total = pyr.total
     data = img.astype(jnp.int32)
     if not gray:
         data = rgb_to_ycocg(data)
     coeff = dwt2d_fwd(data, pyr)
-    lin = coeff.reshape(total, C)[perm].T  # (C, padded total), channel-major
+    lin = coeff.reshape(total, channels)[perm].T  # (C, padded), ch-major
+    return _stats_from_lin(lin, pyr, channels)
+
+
+def _stats_from_lin(lin, pyr: Pyramid, channels: int):
+    """Stage-1 statistics from an already-linearized coefficient array —
+    the entry point for the sharded (halo-transform) encode path, which
+    produces ``lin`` with a device-side composed gather instead of the
+    local transform above (dwt_tpu/parallel/encode.py)."""
+    pix0 = pyr.pixels[0]
+    L, C = pyr.levels, channels
+    segs = _Segs(pyr)
 
     root = lin[:, :pix0]
     det = lin[:, segs.root_pad :]

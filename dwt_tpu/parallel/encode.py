@@ -1,0 +1,230 @@
+"""Multi-chip encode pipelines: the integrated sharded counterparts of
+dwt_tpu.codec.encoder / codec.tiled, built from the same stage functions so
+the emitted bytes are identical to the single-chip paths.
+
+Two parallelism modes (SURVEY §2.1 mapping of encode.c:16-30 +
+bytes.h:75-78):
+
+* **Sequence/context parallelism over the image axis**
+  (:func:`encode_sharded`): the global multi-level DWT runs row-sharded
+  with per-level ppermute halo exchange (parallel.tiled.halo_dwt2d_fwd);
+  the coarse tail is scattered back and the linearization collapses to ONE
+  device-side gather with a host-composed permutation (halo layout ∘ scan
+  order) — no numpy reassembly.  The entropy stage then runs on the
+  replicated linearized array, emitting bytes identical to
+  ``codec.encoder.encode``.
+
+* **Data parallelism over tiles** (:func:`encode_tiled_sharded`): each
+  device encodes its share of the tile grid with the full device pipeline;
+  the per-tile progressive layer byte boundaries are ``all_gather``-ed and
+  every device runs the same global truncation waterline
+  (parallel.tiled.allocate_budget) — the multi-chip generalization of the
+  reference's CAPACITY byte budget.  The container bytes are identical to
+  ``codec.tiled.encode_tiled`` with the same arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codec.encoder import (ALIGN, LMAX, _bucket, _check_planes,
+                             _check_stream_bits, _stage2_pipeline,
+                             _stats_from_lin, get_encoder)
+from ..codec.tiled import MAGIC, VERSION, _tile_spans
+from ..geometry import Pyramid, compute_pyramid
+from ..hilbert import padded_layout
+from ..ops.color import rgb_to_ycocg
+from .tiled import (_halo_plan, _shard_map, allocate_budget, halo_dwt2d_fwd,
+                    halo_perm, pad_rows)
+
+
+@functools.lru_cache(maxsize=16)
+def _composed_perm(pyr: Pyramid, n_dev: int):
+    """Scan-order gather indices into the (H_pad * W) flattened halo fine
+    buffer: halo interleave->pyramid map composed with the lane-aligned
+    linearization layout.  One host-side composition per geometry; the
+    device-side linearization is then a single gather."""
+    hp = halo_perm(pyr, n_dev)
+    p1, _, _ = padded_layout(pyr, ALIGN)
+    return jnp.asarray(hp[p1])
+
+
+def sharded_lin(img, mesh: Mesh, pyr: Pyramid, channels: int, gray: bool,
+                axis_name: str = "y"):
+    """Row-sharded color transform + halo DWT + device-side linearization.
+
+    ``img``: (H, W, C) uint8/int32 (unsharded or row-sharded).  Returns the
+    (C, padded_total) linearized coefficient array (replicated), equal to
+    the single-chip stage-1 ``lin``.
+    """
+    n_dev = mesh.shape[axis_name]
+    n_halo, h_pad = _halo_plan(pyr, n_dev)
+    L = pyr.levels
+    S = 1 << n_halo
+    hc, wc = pyr.heights[L - n_halo], pyr.widths[L - n_halo]
+
+    data = img.astype(jnp.int32)
+    if not gray:
+        data = rgb_to_ycocg(data)
+    x = pad_rows(data, pyr, n_dev)
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(axis_name, None, None)))
+    fine, coarse = halo_dwt2d_fwd(x, mesh, pyr, axis_name)
+    # Scatter the replicated coarse pyramid onto its dyadic grid positions,
+    # then linearize with one composed gather (XLA/GSPMD inserts the
+    # collectives for the sharded operand).
+    fine = fine.at[0 : hc * S : S, 0 : wc * S : S].set(coarse)
+    flat = fine.reshape(h_pad * pyr.width, channels)
+    return flat[_composed_perm(pyr, n_dev)].T
+
+
+class ShardedEncoder:
+    """Single-stream encoder whose transform runs row-sharded over a mesh;
+    bytes are identical to codec.encoder.Encoder."""
+
+    def __init__(self, width: int, height: int, channels: int, mesh: Mesh,
+                 axis_name: str = "y"):
+        self.pyr = compute_pyramid(width, height)
+        self.channels = channels
+        self.gray = channels == 1
+        self.mesh = mesh
+        pyr, C, gray = self.pyr, channels, self.gray
+
+        @jax.jit
+        def stage1(img):
+            lin = sharded_lin(img, mesh, pyr, C, gray, axis_name)
+            return _stats_from_lin(lin, pyr, C)
+
+        self._stage1 = stage1
+        self._stage2 = {}
+        self._host = get_encoder(width, height, channels)
+
+    def encode(self, img: np.ndarray, capacity: int = 0) -> bytes:
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[..., None]
+        lin, stats = self._stage1(jnp.asarray(img))
+        T = int(stats["T"])
+        _check_planes(int(stats["planes_max"]))
+        padded_T = _bucket(T)
+        fn = self._stage2.get(padded_T)
+        if fn is None:
+            pyr, C = self.pyr, self.channels
+            self._stage2[padded_T] = fn = jax.jit(functools.partial(
+                _stage2_pipeline, pyr=pyr, channels=C, padded_T=padded_T))
+        words, total_bits, _ = fn(lin, stats)
+        total_bits = _check_stream_bits(int(total_bits))
+        nbytes = (total_bits + 7) // 8
+        payload = np.asarray(words[: (nbytes + 3) // 4]).tobytes()[:nbytes]
+        stream = self._host.header() + payload
+        return stream[:capacity] if capacity > 0 else stream
+
+
+def encode_tiled_sharded(img: np.ndarray, mesh: Mesh,
+                         tile: tuple = (512, 512), budget: int = 0,
+                         axis_name: str = "y") -> bytes:
+    """Data-parallel tiled encode with a collective truncation allocation.
+
+    Byte-identical to ``codec.tiled.encode_tiled(img, tile, budget)``: each
+    device runs the full per-tile pipeline on its share of the grid; the
+    REAL per-tile layer boundaries are all_gather-ed and every device
+    computes the same budget waterline.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    th, tw = tile
+    n_dev = mesh.shape[axis_name]
+
+    # Tile grid in row-major order (matching encode_tiled).
+    spans = [(y0, x0, hh, ww)
+             for y0, hh in _tile_spans(H, th)
+             for x0, ww in _tile_spans(W, tw)]
+    groups = {}
+    for i, (y0, x0, hh, ww) in enumerate(spans):
+        groups.setdefault((hh, ww), []).append(i)
+
+    payloads = [None] * len(spans)
+    layer_bytes = [None] * len(spans)
+    for (hh, ww), idxs in groups.items():
+        pyr = compute_pyramid(ww, hh)
+        perm = jnp.asarray(padded_layout(pyr, ALIGN)[0])
+        tiles = np.stack([
+            img[spans[i][0] : spans[i][0] + hh,
+                spans[i][1] : spans[i][1] + ww] for i in idxs])
+        n = len(idxs)
+        n_pad = -(-n // n_dev) * n_dev
+        if n_pad != n:  # pad with dummy tiles; results discarded
+            tiles = np.concatenate(
+                [tiles, np.zeros((n_pad - n, hh, ww, C), tiles.dtype)])
+
+        from ..codec.encoder import _transform_and_stats
+
+        @jax.jit
+        def stats_step(tb):
+            return _shard_map(
+                lambda t: jax.vmap(
+                    lambda im: _transform_and_stats(im, pyr, C, C == 1, perm)
+                )(t),
+                mesh=mesh,
+                in_specs=P(axis_name, None, None, None),
+                out_specs=P(axis_name),
+            )(tb)
+
+        tb = jax.device_put(
+            jnp.asarray(tiles),
+            NamedSharding(mesh, P(axis_name, None, None, None)))
+        lin, stats = stats_step(tb)
+        _check_planes(int(jnp.max(stats["planes_max"])))
+        padded_T = _bucket(int(jnp.max(stats["T"])))
+
+        @jax.jit
+        def stage2_step(lin, stats):
+            def per_dev(lin_d, stats_d):
+                words, bits, ends = jax.vmap(functools.partial(
+                    _stage2_pipeline, pyr=pyr, channels=C,
+                    padded_T=padded_T))(lin_d, stats_d)
+                # Collective global truncation: REAL per-tile layer byte
+                # boundaries from every device -> shared waterline.
+                all_ends = jax.lax.all_gather(
+                    (ends + 7) // 8, axis_name, tiled=True)  # (n_pad, LMAX)
+                return words, bits, all_ends
+
+            return _shard_map(
+                per_dev, mesh=mesh,
+                in_specs=(P(axis_name), {k: P(axis_name) for k in stats}),
+                out_specs=(P(axis_name), P(axis_name), P(None)),
+            )(lin, stats)
+
+        words, bits, all_ends = stage2_step(lin, stats)
+        bits_np = np.asarray(bits)
+        ends_np = np.asarray(all_ends)
+        for j, i in enumerate(idxs):
+            nbytes = (_check_stream_bits(int(bits_np[j])) + 7) // 8
+            payloads[i] = np.asarray(
+                words[j, : (nbytes + 3) // 4]).tobytes()[:nbytes]
+            layer_bytes[i] = ends_np[j]
+
+    import struct
+
+    lengths = np.array([len(p) for p in payloads], np.int64)
+    if budget > 0:
+        head = 20 + 4 * len(payloads)
+        lb = np.stack(layer_bytes)
+        per_layer = np.diff(np.concatenate(
+            [np.zeros((lb.shape[0], 1), np.int64), lb], axis=1), axis=1)
+        cuts = np.asarray(allocate_budget(
+            jnp.asarray(per_layer, jnp.int32), max(budget - head, 0)))
+        lengths = np.minimum(lengths, cuts.astype(np.int64))
+        payloads = [p[: int(nn)] for p, nn in zip(payloads, lengths)]
+
+    head = MAGIC + struct.pack("<BBIIHH", VERSION, 0 if C == 3 else 1,
+                               W, H, tw, th)
+    table = np.array([len(p) for p in payloads], "<u4").tobytes()
+    return head + table + b"".join(payloads)

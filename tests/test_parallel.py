@@ -77,6 +77,34 @@ def test_allocate_budget_exact_fit():
 
 
 @needs8
+def test_sharded_encoder_byte_identical(rng):
+    """Halo transform -> composed device-side linearization -> entropy
+    stage == the sequential spec model, byte for byte (H=120 exercises the
+    row-padding path on 8 devices)."""
+    from dwt_tpu.parallel.encode import ShardedEncoder
+
+    img = rng.integers(0, 256, (120, 96, 3)).astype(np.uint8)
+    enc = ShardedEncoder(96, 120, 3, _mesh())
+    assert enc.encode(img) == specmodel.encode(img, gray=False)
+
+
+@needs8
+def test_tiled_sharded_collective_budget(rng):
+    """Data-parallel tile encode with all_gather-ed REAL layer boundaries
+    == host encode_tiled, byte for byte, at several budgets."""
+    from dwt_tpu.codec.tiled import encode_tiled
+    from dwt_tpu.parallel.encode import encode_tiled_sharded
+
+    img = rng.integers(0, 256, (96, 64, 3)).astype(np.uint8)
+    mesh = _mesh()
+    full = encode_tiled(img, tile=(32, 32))
+    for budget in (0, len(full) * 2 // 3, len(full) // 3):
+        got = encode_tiled_sharded(img, mesh, tile=(32, 32), budget=budget)
+        want = encode_tiled(img, tile=(32, 32), budget=budget)
+        assert got == want
+
+
+@needs8
 def test_dryrun_multichip():
     import importlib.util
     import pathlib

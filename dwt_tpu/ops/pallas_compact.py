@@ -38,7 +38,11 @@ words shared with token bits merge by addition of disjoint bits.
 
 Mosaic notes (see also ops/pallas_pack.py): 2-D values with the work axis
 in lanes; refs + pl.ds only; trace with x64 disabled; u32->s8 via s32;
-scalar stores to VMEM are (1, 1) vector stores; no cumsum primitive.
+scalar stores to VMEM are (1, 1) vector stores; no cumsum primitive;
+scalar reductions must go through a (1,)-shaped axis reduction + [0]
+extraction — Mosaic lowers reduce-to-scalar via a proxy re-trace of
+jnp.sum under the AMBIENT config, which promotes i32 sums to i64 when the
+embedding application enables x64.
 """
 
 from __future__ import annotations
@@ -57,16 +61,18 @@ INTERPRET = False
 E = 65536
 SUBA = 512    # elements per kernel-A sub-chunk (token targets span 2*SUBA)
 SUBB = 1024   # elements per kernel-B sub-chunk (bit targets span 32 words)
-SUBAL = 8     # lane alignment of sub-window bases inside VMEM scratch
+# Lane alignment of dynamic sub-window bases inside VMEM scratch: Mosaic
+# requires dynamic vector load/store offsets to be 128-lane aligned.
+SUBAL = 128
 
 # Kernel A token windows (int32 token slots).
 WTOK_SMALL = 8192
 WTOK_BIG = 2 * E + 256
 # Kernel A one-hot row tiers (target span 2*cnt + SUBAL misalignment).
-ATIERS = (256, 640, 2 * SUBA + SUBAL + 8)
+ATIERS = (256, 640, 2 * SUBA + SUBAL + 128)
 # Kernel B stream-word window and one-hot rows (<= 33 words + misalign).
 WREF = E // 32 + 256
-BROWS = SUBB // 32 + SUBAL + 8
+BROWS = SUBB // 32 + SUBAL + 32
 
 # Per-unit metadata columns (kernel A / kernel B share the layout).
 #   0: element start (flat, 512-aligned)   1: valid element count
@@ -103,6 +109,7 @@ def _onehot_place(scratch, base, rows, tgt, vals, bitcast):
     path is exact there too).
     """
     n = tgt.shape[1]
+    base = pl.multiple_of(base, SUBAL)
     rel = tgt - base
     oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0) == rel).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -166,7 +173,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                 mS = ok & (sh == 1)
                 mZ = ok & (sh == 0)
                 mSi = mS.astype(jnp.int32)
-                cnt = jnp.sum(mSi, dtype=jnp.int32)
+                cnt = jnp.sum(mSi, axis=1, dtype=jnp.int32)[0]
 
                 @pl.when(cnt > 0)
                 def _():
@@ -193,7 +200,8 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                                 (base0 // SUBAL) * SUBAL, wtok - rows)
                             _onehot_place(win, base, rows, tgt, vals, False)
 
-                return (zcum + jnp.sum(mZ, dtype=jnp.int32), scum + cnt)
+                return (zcum + jnp.sum(mZ, axis=1, dtype=jnp.int32)[0],
+                            scum + cnt)
 
             jax.lax.fori_loop(0, E // SUBA, sub, (meta_ref[b, 5], jnp.int32(0)))
             cp_out = pltpu.make_async_copy(
@@ -275,7 +283,7 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
             ok, mag, sh = _masks(v, meta_ref[b, 2], s * SUBB, meta_ref[b, 1])
             mR = ok & (sh > 1)
             mRi = mR.astype(jnp.int32)
-            cnt = jnp.sum(mRi, dtype=jnp.int32)
+            cnt = jnp.sum(mRi, axis=1, dtype=jnp.int32)[0]
 
             @pl.when(cnt > 0)
             def _():

@@ -40,18 +40,20 @@ from ..geometry import Pyramid, compute_pyramid
 from ..hilbert import padded_layout
 from ..ops.color import rgb_to_ycocg
 from .tiled import (_halo_plan, _shard_map, allocate_budget, halo_dwt2d_fwd,
-                    halo_perm, pad_rows)
+                    halo_dwt2d_inv, halo_perm, pad_rows)
 
 
 @functools.lru_cache(maxsize=16)
-def _composed_perm(pyr: Pyramid, n_dev: int):
+def _composed_perm(pyr: Pyramid, n_dev: int) -> np.ndarray:
     """Scan-order gather indices into the (H_pad * W) flattened halo fine
     buffer: halo interleave->pyramid map composed with the lane-aligned
     linearization layout.  One host-side composition per geometry; the
-    device-side linearization is then a single gather."""
+    device-side linearization is then a single gather.  Returns numpy (a
+    device constant must NOT be cached here: this is called inside jit
+    traces, where jnp.asarray yields a trace-local tracer)."""
     hp = halo_perm(pyr, n_dev)
     p1, _, _ = padded_layout(pyr, ALIGN)
-    return jnp.asarray(hp[p1])
+    return hp[p1]
 
 
 def sharded_lin(img, mesh: Mesh, pyr: Pyramid, channels: int, gray: bool,
@@ -80,7 +82,7 @@ def sharded_lin(img, mesh: Mesh, pyr: Pyramid, channels: int, gray: bool,
     # collectives for the sharded operand).
     fine = fine.at[0 : hc * S : S, 0 : wc * S : S].set(coarse)
     flat = fine.reshape(h_pad * pyr.width, channels)
-    return flat[_composed_perm(pyr, n_dev)].T
+    return flat[jnp.asarray(_composed_perm(pyr, n_dev))].T
 
 
 class ShardedEncoder:
@@ -123,6 +125,83 @@ class ShardedEncoder:
         payload = np.asarray(words[: (nbytes + 3) // 4]).tobytes()[:nbytes]
         stream = self._host.header() + payload
         return stream[:capacity] if capacity > 0 else stream
+
+
+class ShardedDecoder:
+    """Full-resolution decoder whose inverse transform runs row-sharded
+    (the mirror of ShardedEncoder: entropy parse on host, then sharded
+    inverse column lifting with ppermute halos).  Truncated streams that
+    decoded fewer levels fall back to the single-chip decoder (their
+    output is a smaller image with its own geometry)."""
+
+    def __init__(self, width: int, height: int, channels: int, mesh: Mesh,
+                 axis_name: str = "y"):
+        from ..hilbert import level_of_position, reconstruction_perm
+        from ..ops.color import ycocg_to_rgb
+
+        self.pyr = pyr = compute_pyramid(width, height)
+        self.channels = C = channels
+        self.gray = channels == 1
+        self.mesh = mesh
+        n_dev = mesh.shape[axis_name]
+        n_halo, h_pad = _halo_plan(pyr, n_dev)
+        L = pyr.levels
+        S = 1 << n_halo
+        hc, wc = pyr.heights[L - n_halo], pyr.widths[L - n_halo]
+        # n_halo == L means the coarse region is the root band itself (it
+        # may be smaller than the 8x8 geometry minimum): no tail transform.
+        sub_pyr = compute_pyramid(wc, hc) if n_halo < L else None
+        inv_perm = jnp.asarray(reconstruction_perm(pyr))
+        hp = jnp.asarray(halo_perm(pyr, n_dev))
+        lvl_of = jnp.asarray(level_of_position(pyr))
+        H, W = height, width
+        gray = self.gray
+
+        from ..ops.lifting import dwt2d_inv
+
+        @jax.jit
+        def inverse(coeffs, missing):
+            # midpoint bias for truncated planes (decode.c:50-58)
+            m = jnp.take_along_axis(
+                missing,
+                jnp.broadcast_to(jnp.clip(lvl_of, 0, 15)[None, :],
+                                 (C, pyr.total)), axis=1) - 2
+            bias = jnp.where((m >= 0) & (lvl_of[None, :] >= 0),
+                             jnp.left_shift(1, jnp.clip(m, 0, 30)),
+                             0).astype(jnp.int32)
+            lin = coeffs + jnp.sign(coeffs) * bias
+            pyr2d = lin[:, inv_perm].T  # (H*W, C) pyramid layout
+            # coarse tail: replicated inverse of the top-left LL pyramid
+            coarse = pyr2d.reshape(H, W, C)[:hc, :wc]
+            if sub_pyr is not None:
+                coarse = dwt2d_inv(coarse, sub_pyr)
+            # scatter into the interleaved halo layout; coarse onto the
+            # dyadic grid
+            fine = jnp.zeros((h_pad * W, C), jnp.int32).at[hp].set(pyr2d)
+            fine = fine.reshape(h_pad, W, C)
+            fine = fine.at[0 : hc * S : S, 0 : wc * S : S].set(coarse)
+            fine = jax.lax.with_sharding_constraint(
+                fine, NamedSharding(mesh, P(axis_name, None, None)))
+            spat = halo_dwt2d_inv(fine, mesh, pyr, axis_name)[:H]
+            if not gray:
+                spat = ycocg_to_rgb(spat)
+            return jnp.clip(spat, 0, 255).astype(jnp.uint8)
+
+        self._inverse = inverse
+
+    def decode(self, stream: bytes):
+        from ..codec import decoder as _dec
+        from ..runtime import native
+
+        W, H, gray = _dec.parse_header(stream)
+        assert (W, H) == (self.pyr.width, self.pyr.height) and gray == self.gray
+        pyr = self.pyr
+        coeffs, missing, level, _ = native.entropy_decode(
+            stream[6:], self.channels, pyr.levels, pyr.levels, pyr.pixels)
+        if level + 1 < pyr.levels:
+            return _dec.decode(stream)[0]  # reduced-size output
+        return np.asarray(self._inverse(jnp.asarray(coeffs),
+                                        jnp.asarray(missing)))
 
 
 def encode_tiled_sharded(img: np.ndarray, mesh: Mesh,

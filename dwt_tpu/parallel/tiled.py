@@ -48,9 +48,9 @@ def _shard_map(f, **kw):
     all_gather produce replicated outputs the VMA inference cannot always
     prove), across jax versions."""
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
         from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     for flag in ("check_vma", "check_rep"):
         try:
             return shard_map(f, **kw, **{flag: False})
@@ -80,6 +80,26 @@ def _lift_fwd_strided(x, axis: int, stride: int, n_active: int):
     s = jnp.concatenate([ev[:nupd] + upd[:nupd], ev[nupd:]], axis=0)
     xm = xm.at[:: 2 * stride].set(s)
     xm = xm.at[stride :: 2 * stride].set(d)
+    return jnp.moveaxis(xm, 0, axis)
+
+
+def _lift_inv_strided(x, axis: int, stride: int, n_active: int):
+    """Inverse of :func:`_lift_fwd_strided`: un-update evens, then
+    un-predict odds, on the dyadic grid (cdf53.h:36-61 order/signs)."""
+    xm = jnp.moveaxis(x, axis, 0)
+    ev = xm[:: 2 * stride]
+    od = xm[stride :: 2 * stride]
+    N = n_active
+    ne, no = ev.shape[0], od.shape[0]
+    d = od
+    left = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    upd = _tdiv(left + d, 4)
+    nupd = ne if N % 2 == 0 else ne - 1
+    s = jnp.concatenate([ev[:nupd] - upd[:nupd], ev[nupd:]], axis=0)
+    right = s[1:] if ne > no else jnp.concatenate([s[1:], s[-1:]], axis=0)
+    od2 = d + _tdiv(s[:no] + right, 2)
+    xm = xm.at[:: 2 * stride].set(s)
+    xm = xm.at[stride :: 2 * stride].set(od2)
     return jnp.moveaxis(xm, 0, axis)
 
 
@@ -272,6 +292,69 @@ def assemble_pyramid(fine, coarse, pyr: Pyramid, n_dev: int):
     out[::S, ::S][:hc, :wc] = np.asarray(coarse)
     flat = out.reshape(out.shape[0] * W, -1)
     return flat[halo_perm(pyr, n_dev)].reshape((H, W) + out.shape[2:])
+
+
+def halo_dwt2d_inv(fine, mesh: Mesh, pyr: Pyramid, axis_name: str = "y"):
+    """Inverse multi-level 2-D DWT of a row-sharded coefficient buffer.
+
+    ``fine``: (H_pad, W, C) int32 in the interleaved halo layout with ALL
+    coefficients placed (the coarse tail already inverse-transformed and
+    scattered onto its dyadic grid — see parallel.encode.ShardedDecoder).
+    Mirrors :func:`halo_dwt2d_fwd` exactly: per level, coarsest first,
+    inverse column lifting with ppermute halos (un-update needs the
+    previous device's last odd; un-predict the next device's first
+    un-updated even), then local inverse row lifting (decode.c:16-30
+    order).  Returns the sharded spatial image buffer (rows >= H are pad
+    garbage).
+    """
+    n_dev = mesh.shape[axis_name]
+    n_halo, h_pad = _halo_plan(pyr, n_dev)
+    L = pyr.levels
+    assert fine.shape[0] == h_pad, (fine.shape, h_pad)
+
+    def shard_fn(xb):
+        idx = jax.lax.axis_index(axis_name)
+        out = xb
+        for t in range(n_halo - 1, -1, -1):
+            s = 1 << t
+            h_act, w_act = pyr.heights[L - t], pyr.widths[L - t]
+            n_odd = h_act // 2
+            n_even = h_act - n_odd
+            n_upd = n_even if h_act % 2 == 0 else n_even - 1
+            ev = out[:: 2 * s, ::s]
+            od = out[s :: 2 * s, ::s]
+            ne = ev.shape[0]
+            jg = idx * ne + jnp.arange(ne)
+            d = od
+            # un-update (reverse of the forward update, same neighbors)
+            recv_prev = jax.lax.ppermute(
+                d[-1:], axis_name,
+                [(i, i + 1) for i in range(n_dev - 1)])
+            left_head = jnp.where(idx == 0, d[:1], recv_prev)
+            left = jnp.concatenate([left_head, d[:-1]], axis=0)
+            sc = ev - _tdiv(left + d, 4)
+            sc = jnp.where((jg < n_upd)[:, None, None], sc, ev)
+            # un-predict with the un-updated evens
+            recv_next = jax.lax.ppermute(
+                sc[:1], axis_name,
+                [(i + 1, i) for i in range(n_dev - 1)])
+            right = jnp.concatenate([sc[1:], recv_next], axis=0)
+            right = jnp.where((jg + 1 >= n_even)[:, None, None], sc, right)
+            od2 = d + _tdiv(sc + right, 2)
+            out = out.at[:: 2 * s, ::s].set(sc)
+            out = out.at[s :: 2 * s, ::s].set(od2)
+            # inverse row pass (local), after the column pass
+            rows = out[::s]
+            rows = _lift_inv_strided(rows, 1, s, w_act)
+            out = out.at[::s].set(rows)
+        return out
+
+    fn = _shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(axis_name, None, None),
+    )
+    return fn(fine)
 
 
 # ---------------------------------------------------------------------------

@@ -76,10 +76,39 @@ def test_tiled_sub8_edge_absorbed(rng):
 
 
 def test_tiled_reduced_resolution(rng):
+    """Exact oracle: the reduced-resolution mosaic must equal, tile for
+    tile, the single-stream decoder run at the same pixels_max on each
+    tile stream, replication-upsampled the same way (the mosaic is fully
+    deterministic; decode.c:165-171 is the single-stream analog)."""
+    import struct
+
+    from dwt_tpu.codec import decoder
+
     img = random_image(rng, 128, 128, 3, "mixed")
     data = tiled.encode_tiled(img, tile=(64, 64))
     out, _ = tiled.decode_tiled(data, pixels_max=256)  # each tile <= 16x16
     assert out.shape == img.shape  # replication-upsampled mosaic
-    # Should still resemble the image (very loose bound: better than noise).
-    mse = np.mean((out.astype(np.float64) - img) ** 2)
-    assert mse < np.mean((np.float64(128) - img) ** 2) * 1.5
+
+    # Compose the expected mosaic on the host from per-tile decodes.
+    _, _, W, H, tw, th = struct.unpack("<BBIIHH", data[2:16])
+    spans = [(y0, x0, hh, ww)
+             for y0, hh in tiled._tile_spans(H, th)
+             for x0, ww in tiled._tile_spans(W, tw)]
+    n = len(spans)
+    table = np.frombuffer(data[16 : 16 + 4 * n], "<u4")
+    off = 16 + 4 * n
+    want = np.zeros((H, W, 3), np.uint8)
+    for (y0, x0, hh, ww), ln in zip(spans, table):
+        payload = data[off : off + int(ln)]
+        off += int(ln)
+        hdr = bytes([ord("W"), ord("6"), (ww - 1) & 255, (ww - 1) >> 8,
+                     (hh - 1) & 255, (hh - 1) >> 8])
+        timg, _ = decoder.decode(hdr + payload, pixels_max=256)
+        timg = np.asarray(timg)
+        oh, ow = timg.shape[:2]
+        if (oh, ow) != (hh, ww):
+            ry = (hh + oh - 1) // oh
+            rx = (ww + ow - 1) // ow
+            timg = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:hh, :ww]
+        want[y0 : y0 + hh, x0 : x0 + ww] = timg
+    np.testing.assert_array_equal(out, want)

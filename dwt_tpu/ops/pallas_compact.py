@@ -148,16 +148,16 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
               sem_el, sem_in, sem_out):
     del tok_in  # aliased with tok_out
     b = pl.program_id(0)
-    nsig = meta_ref[b, 6]
+    nsig = meta_ref[8 * b + 6]
 
     @pl.when(nsig > 0)
     def _():
-        el0 = pl.multiple_of(meta_ref[b, 0], 512)
+        el0 = pl.multiple_of(meta_ref[8 * b + 0], 512)
         cp_el = pltpu.make_async_copy(
             vmag.at[:, pl.ds(el0, E)], elbuf, sem_el)
         cp_el.start()
         cp_el.wait()
-        ws = pl.multiple_of(meta_ref[b, 3], 128)
+        ws = pl.multiple_of(meta_ref[8 * b + 3], 128)
 
         def run(win, wtok):
             cp_in = pltpu.make_async_copy(
@@ -168,8 +168,8 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
             def sub(s, carry):
                 zcum, scum = carry
                 v = elbuf[:, pl.ds(s * SUBA, SUBA)]
-                ok, mag, sh = _masks(v, meta_ref[b, 2],
-                                     s * SUBA, meta_ref[b, 1])
+                ok, mag, sh = _masks(v, meta_ref[8 * b + 2],
+                                     s * SUBA, meta_ref[8 * b + 1])
                 mS = ok & (sh == 1)
                 mZ = ok & (sh == 0)
                 mSi = mS.astype(jnp.int32)
@@ -180,14 +180,14 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                     sex = _excl_lanes(mSi, SUBA)
                     zpfx = zcum + _excl_lanes(mZ.astype(jnp.int32), SUBA)
                     sgn = (v >> 30) & 1
-                    loc = meta_ref[b, 4] + 2 * (scum + sex)  # even slots
+                    loc = meta_ref[8 * b + 4] + 2 * (scum + sex)  # even slots
                     tgt = jnp.concatenate(
                         [jnp.where(mS, loc, -1), jnp.where(mS, loc + 1, -1)],
                         axis=1)
                     vals = jnp.concatenate(
                         [jnp.where(mS, zpfx, 0), jnp.where(mS, sgn, 0)],
                         axis=1).astype(jnp.uint32)
-                    base0 = meta_ref[b, 4] + 2 * scum
+                    base0 = meta_ref[8 * b + 4] + 2 * scum
                     for i, rows in enumerate(ATIERS):
                         lim = (rows - SUBAL) // 2
                         lo = 0 if i == 0 else (ATIERS[i - 1] - SUBAL) // 2
@@ -203,7 +203,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
                 return (zcum + jnp.sum(mZ, axis=1, dtype=jnp.int32)[0],
                             scum + cnt)
 
-            jax.lax.fori_loop(0, E // SUBA, sub, (meta_ref[b, 5], jnp.int32(0)))
+            jax.lax.fori_loop(0, E // SUBA, sub, (meta_ref[8 * b + 5], jnp.int32(0)))
             cp_out = pltpu.make_async_copy(
                 win, tok_out.at[:, pl.ds(ws, wtok)], sem_out)
             cp_out.start()
@@ -252,8 +252,11 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
+    # Scalar prefetch must be 1-D: Mosaic pads the minor axis of 2-D SMEM
+    # arrays to 128 lanes, inflating (U, 8) 16x past the 1 MB SMEM budget
+    # at production unit counts.
     with jax.enable_x64(False):
-        return call(meta, vmag, tok0)
+        return call(meta.reshape(-1), vmag, tok0)
 
 
 # ---------------------------------------------------------------------------
@@ -265,14 +268,14 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
     del words_in
     b = pl.program_id(0)
 
-    @pl.when(meta_ref[b, 6] > 0)
+    @pl.when(meta_ref[8 * b + 6] > 0)
     def _():
-        el0 = pl.multiple_of(meta_ref[b, 0], 512)
+        el0 = pl.multiple_of(meta_ref[8 * b + 0], 512)
         cp_el = pltpu.make_async_copy(
             vmag.at[:, pl.ds(el0, E)], elbuf, sem_el)
         cp_el.start()
         cp_el.wait()
-        ws = pl.multiple_of(meta_ref[b, 3], 128)
+        ws = pl.multiple_of(meta_ref[8 * b + 3], 128)
         cp_in = pltpu.make_async_copy(
             words_out.at[:, pl.ds(ws, WREF)], win, sem_in)
         cp_in.start()
@@ -280,7 +283,7 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
 
         def sub(s, rcum):
             v = elbuf[:, pl.ds(s * SUBB, SUBB)]
-            ok, mag, sh = _masks(v, meta_ref[b, 2], s * SUBB, meta_ref[b, 1])
+            ok, mag, sh = _masks(v, meta_ref[8 * b + 2], s * SUBB, meta_ref[8 * b + 1])
             mR = ok & (sh > 1)
             mRi = mR.astype(jnp.int32)
             cnt = jnp.sum(mRi, axis=1, dtype=jnp.int32)[0]
@@ -288,14 +291,14 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
             @pl.when(cnt > 0)
             def _():
                 rex = _excl_lanes(mRi, SUBB)
-                bitpos = meta_ref[b, 4] + rcum + rex  # window-local bits
+                bitpos = meta_ref[8 * b + 4] + rcum + rex  # window-local bits
                 bit = jax.lax.shift_right_logical(
-                    mag, meta_ref[b, 2]).astype(jnp.uint32) & 1
+                    mag, meta_ref[8 * b + 2]).astype(jnp.uint32) & 1
                 val = jnp.where(
                     mR, bit << (bitpos & 31).astype(jnp.uint32), 0)
                 tgt = jnp.where(mR, bitpos >> 5, -1)
                 base = jnp.minimum(
-                    ((meta_ref[b, 4] + rcum) >> 5) // SUBAL * SUBAL,
+                    ((meta_ref[8 * b + 4] + rcum) >> 5) // SUBAL * SUBAL,
                     WREF - BROWS)
                 _onehot_place(win, base, BROWS, tgt, val, True)
 
@@ -341,4 +344,4 @@ def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     with jax.enable_x64(False):
-        return call(meta, vmag, words)
+        return call(meta.reshape(-1), vmag, words)

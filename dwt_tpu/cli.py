@@ -24,6 +24,22 @@ def main(argv=None) -> int:
                     "[CAPACITY|PIXELS|TILE [BUDGET]]")
     mode, args = argv[0], argv[1:]
 
+    # DWT_TRACE=<dir>: wrap the run in a jax.profiler device trace
+    # (utils/trace.py); DWT_SELFCHECK=1 additionally makes every encode
+    # verify its own stream decodes losslessly (codec/encoder.py).
+    import os
+
+    trace_dir = os.environ.get("DWT_TRACE")
+    if trace_dir:
+        from .utils.trace import device_trace
+
+        with device_trace(trace_dir):
+            return _run(mode, args)
+    return _run(mode, args)
+
+
+def _run(mode: str, args: list) -> int:
+
     if mode == "tiled-encode":
         if len(args) not in (2, 3, 4):
             return _err("usage: dwt_tpu tiled-encode input.pnm output.dwtt "

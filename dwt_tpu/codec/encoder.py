@@ -37,6 +37,7 @@ capacity mechanism emits exactly the prefix of the unconstrained stream.
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import jax
@@ -901,6 +902,17 @@ class Encoder:
         if capacity > 0:
             stream = stream[:capacity]
         dt = time.perf_counter() - t0
+        if os.environ.get("DWT_SELFCHECK") == "1" and capacity <= 0:
+            # Sanitizer mode (the codec analog of the reference's ASan
+            # Makefile line): every emitted stream must decode losslessly
+            # before it is returned.  Catches any device-side packing
+            # corruption at the source instead of at a far-away consumer.
+            from . import decoder as _decoder
+
+            back, _ = _decoder.decode(stream)
+            if not np.array_equal(np.asarray(back).reshape(img.shape), img):
+                raise AssertionError(
+                    "DWT_SELFCHECK: stream does not decode to the input")
         le = np.asarray(layer_ends)
         info = {
             "tokens": T,

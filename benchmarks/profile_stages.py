@@ -1,9 +1,10 @@
 """Per-stage TPU timing of the 4K encode pipeline.
 
-Each stage is jitted separately with a scalar-checksum output (so XLA
-cannot dead-code-eliminate it) and timed with the enqueue-N/sync-once
-method (the relay adds ~25 ms per roundtrip; block_until_ready is not
-reliable here — see memory notes).
+Each stage is wrapped in a jit that CONSUMES every output into one scalar
+checksum (XLA cannot DCE the stage; only one sync roundtrip per call) —
+the same honesty protocol bench.py uses.  Enqueue N, sync each scalar at
+the end: interleaving multi-leaf syncs with dispatches is unreliable on
+relay-attached dev TPUs (see memory notes / BENCH_NOTES.md).
 """
 import sys
 import time
@@ -19,10 +20,11 @@ import jax.numpy as jnp  # noqa: E402
 from dwt_tpu.codec import encoder  # noqa: E402
 from dwt_tpu.codec.encoder import (_bucket, _finish_tokens, _pack_bits,  # noqa: E402
                                    _ref_bits_pallas, _sig_tokens_pallas,
-                                   _stream_words, _vli_orders)
+                                   _stream_words, _transform_and_stats,
+                                   _vli_orders)
 
 W, H = 3840, 2160
-N = 3
+N = 4
 
 rng = np.random.default_rng(7)
 img = random_image(rng, W, H, 3, "mixed")
@@ -37,46 +39,50 @@ nwords = _stream_words(pyr, C, padded_T)
 print(f"T={T} padded_T={padded_T} nwords={nwords}", file=sys.stderr)
 
 
+def _cksum(tree):
+    leaves = [x for x in jax.tree.leaves(tree)
+              if hasattr(x, "dtype") and x.size > 0]
+    return sum(jnp.sum(x.astype(jnp.uint32)
+                       if x.dtype not in (jnp.int64, jnp.uint64)
+                       else jnp.sum(x).astype(jnp.uint32)) for x in leaves)
+
+
 def timed(name, fn, *args):
-    out = fn(*args)  # compile
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    cs = [jax.jit(lambda *a: jnp.sum(jnp.asarray(
-        [jnp.sum(x.astype(jnp.uint32) if x.dtype != jnp.int64 else
-                 x.astype(jnp.int64).astype(jnp.int32)) for x in jax.tree.leaves(fn(*a))]
-    ).astype(jnp.int64)))]  # not used; keep simple below
+    g = jax.jit(lambda *a: _cksum(fn(*a)))
+    int(g(*args))  # compile + warm
     t0 = time.time()
-    outs = [fn(*args) for _ in range(N)]
+    outs = [g(*args) for _ in range(N)]
     for o in outs:
-        for leaf in jax.tree.leaves(o):
-            np.asarray(leaf.ravel()[:1])  # scalar-ish sync per output
+        int(o)
     dt = (time.time() - t0) / N
     print(f"{name:28s} {dt*1e3:8.1f} ms", file=sys.stderr)
-    return out
+    return fn(*args)
 
 
-# stage 1
-timed("stage1 transform+stats", enc._stage1, img_dev, enc._perm)
+timed("stage1 transform+stats", lambda im: enc._stage1(im, enc._perm), img_dev)
+timed("stage1a transform only",
+      lambda im: _transform_and_stats(im, pyr, C, False, enc._perm)[0], img_dev)
 
-# stage 2 split
-f_sig = jax.jit(lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T))
-tokA, vmag, com = timed("A: sig-token compaction", f_sig, lin, stats)
+tokA, vmag, com = timed(
+    "A: sig-token compaction",
+    lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T),
+    lin, stats)
+tv, tr, tf = timed(
+    "finish tokens (dense)",
+    lambda tok0, lin, stats: _finish_tokens(tok0, lin, stats, pyr, C, padded_T),
+    tokA, lin, stats)
+orders = timed("VLI order scan", lambda tv, tf: _vli_orders(tv, tf, padded_T),
+               tv, tf)
+words, total_bits, off, off_base = timed(
+    "pack bits (codewords)",
+    lambda lin, stats, tv, tr, tf, o: _pack_bits(
+        lin, stats, tv, tr, tf, o, pyr, C, padded_T, nwords),
+    lin, stats, tv, tr, tf, orders)
+timed("B: refinement bits",
+      lambda words, ob, vmag, stats: _ref_bits_pallas(
+          words, ob, vmag, com, stats, pyr, C, padded_T),
+      words, off_base, vmag, stats)
 
-f_fin = jax.jit(lambda tok0, lin, stats: _finish_tokens(tok0, lin, stats, pyr, C, padded_T))
-tv, tr, tf = timed("finish tokens (dense)", f_fin, tokA, lin, stats)
-
-f_ord = jax.jit(lambda tv, tf: _vli_orders(tv, tf, padded_T))
-orders = timed("VLI order scan", f_ord, tv, tf)
-
-f_pack = jax.jit(lambda lin, stats, tv, tr, tf, orders: _pack_bits(
-    lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords))
-words, total_bits, off, off_base = timed("pack bits (codewords)", f_pack,
-                                         lin, stats, tv, tr, tf, orders)
-
-f_ref = jax.jit(lambda words, off_base, vmag, stats: _ref_bits_pallas(
-    words, off_base, vmag, com, stats, pyr, C, padded_T))
-timed("B: refinement bits", f_ref, words, off_base, vmag, stats)
-
-# full stage 2 fused (the production path)
 st2 = enc._get_stage2(padded_T)
-f_full = jax.jit(lambda lin, stats: st2(lin, stats))
-timed("stage2 fused", f_full, lin, stats)
+timed("stage2 fused", lambda lin, stats: st2(lin, stats), lin, stats)
+timed("FULL pipeline", lambda im: st2(*enc._stage1(im, enc._perm)), img_dev)

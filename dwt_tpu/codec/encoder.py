@@ -635,11 +635,17 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     s = orders
     k = jnp.where(tok_vli, _vli_k(tok_val, s), 0)
     nbits = jnp.where(tok_vli, 2 * k + s + 1, tok_raw)
-    v64 = tok_val.astype(jnp.int64)
-    s64, k64 = s.astype(jnp.int64), k.astype(jnp.int64)
-    payload = v64 - ((jnp.int64(1) << (s64 + k64)) - (jnp.int64(1) << s64))
-    word_vli = (jnp.int64(1) << k64) | (payload << (k64 + 1))
-    tw = jnp.where(tok_vli, word_vli, v64).astype(jnp.uint64)
+    # Codeword as explicit (lo, hi) uint32 halves — no int64 anywhere: the
+    # VLI codeword is k prefix zeros, a 1, then s+k payload bits, total
+    # 2k+s+1 <= 61 bits with s+k <= 30 (magnitudes < 2^29), so the payload
+    # itself fits int32 and the >>(32-x) shifts decompose as >>1 >>(31-x)
+    # (valid for x == 0 too).  64-bit ops are emulated on TPU and made this
+    # the single most expensive stage of the round-1 pipeline.
+    payload = tok_val - ((jnp.int32(1) << (s + k)) - (jnp.int32(1) << s))
+    lo_vli = ((jnp.int32(1) << k) | (payload << (k + 1))).astype(jnp.uint32)
+    hi_vli = (payload.astype(jnp.uint32) >> (31 - k).astype(jnp.uint32))
+    lo = jnp.where(tok_vli, lo_vli, tok_val.astype(jnp.uint32))
+    hi = jnp.where(tok_vli, hi_vli, 0)
 
     # int32 bit offsets: single streams stay < 2^31 bits (256 MB); the tiled
     # container is the path for anything larger.
@@ -653,14 +659,11 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     off = off_base + jnp.cumsum(inject)
 
     widx = off >> 5
-    sh = (off & 31).astype(jnp.uint64)
-    M32 = jnp.uint64(0xFFFFFFFF)
-    lo = tw & M32
-    hi = tw >> jnp.uint64(32)
-    # sh==0: x >> 32 is 0 in uint64 — exactly the wanted carry behavior.
-    c0 = ((lo << sh) & M32).astype(jnp.uint32)
-    c1 = (((lo >> (jnp.uint64(32) - sh)) | (hi << sh)) & M32).astype(jnp.uint32)
-    c2 = ((hi >> (jnp.uint64(32) - sh)) & M32).astype(jnp.uint32)
+    sh = (off & 31).astype(jnp.uint32)
+    shc = (jnp.uint32(31) - sh)  # >>(32-sh) decomposed as >>1 >>(31-sh)
+    c0 = lo << sh
+    c1 = ((lo >> 1) >> shc) | (hi << sh)
+    c2 = (hi >> 1) >> shc
     # nwords covers the worst-case stream plus slack for the Pallas window
     # and one spare dump slot for masked ref-bit scatters (_stream_words).
     if _use_pallas_pack(padded_T):

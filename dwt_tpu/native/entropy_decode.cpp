@@ -24,6 +24,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef __BMI2__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kSgnBit = 31;
@@ -91,14 +95,41 @@ struct VliReader {
 
   // Adaptive Rice/Elias get (vli.h:86-101): count prefix zeros with the
   // order escalating per zero, then `order` raw bits; order decays by 2.
+  // The prefix zeros are consumed in bulk with ctz on the 64-bit
+  // accumulator instead of bit-by-bit: a run of z zeros at entry order s
+  // contributes sum += (2^z - 1) << s and advances the order by z.
+  // Valid streams never push the order past ~33 (run lengths < 2^31);
+  // beyond 48 the stream is corrupt and decoding stops (the bit-serial
+  // reference would shift-overflow there — hard-stopping is the safe
+  // behavioral superset, and matches its EOF handling).
   inline int64_t get() {
+    BitReader* b = bits;
+    if (b->fail) return -1;
     int64_t sum = 0;
     for (;;) {
-      int b = bits->get_bit();
-      if (b < 0) return -1;
-      if (b) break;
-      sum += 1ll << order;
-      order += 1;
+      if (b->navail == 0) {
+        b->refill();
+        if (b->navail == 0) {
+          b->fail = true;
+          return -1;
+        }
+      }
+      if (b->acc != 0) {  // terminator within the buffered bits
+        int z = __builtin_ctzll(b->acc);
+        if (order + z > 48) return -1;
+        sum += ((1ll << z) - 1) << order;
+        order += z;
+        b->acc >>= z + 1;
+        b->navail -= z + 1;
+        break;
+      }
+      // All buffered bits are prefix zeros.
+      int n = b->navail;
+      if (order + n > 48) return -1;
+      sum += ((1ll << n) - 1) << order;
+      order += n;
+      b->acc = 0;
+      b->navail = 0;
     }
     int64_t v = bits->read_bits(order);
     if (v < 0) return -1;
@@ -138,24 +169,61 @@ struct RleReader {
 // Per-(channel, chunk) significance bookkeeping.  The reference re-scans
 // every coefficient on every plane, checking state flags per position
 // (decode.c:73-99, O(num * planes) branchy work).  We instead keep the
-// insignificant positions as an ordered list and *jump over zero runs in
-// O(1)*: a run of R zeros advances the list cursor by R without touching
-// memory, so each plane costs O(runs + newly-significant + |significant|)
-// plus one memcpy-speed list rebuild — the dominant early planes (sparse,
-// huge runs) become nearly free.
+// insignificant / significant position sets as *bitmasks* and work a word
+// (64 positions) at a time: zero runs jump via popcount, the newly
+// significant position inside a word is found with pdep+ctz select, and a
+// whole word of refinement bits deposits onto the significant positions
+// with one pdep.  Each plane costs O(words) + O(symbols actually coded) —
+// no per-plane list rebuilds (a sorted-vector variant spent ~70% of the
+// 4K parse merging and rebuilding those lists).
 struct ChunkState {
-  std::vector<int32_t> insig;  // not-yet-significant positions, ascending
-  std::vector<int32_t> sig;    // significant (refined) positions, ascending
-  std::vector<int32_t> newly;  // became significant this plane
+  std::vector<uint64_t> insig;  // bit = not yet significant
+  std::vector<uint64_t> sig;    // bit = significant before this plane
+  std::vector<uint64_t> newly;  // bit = became significant this plane
+  int64_t insig_count = 0;
+  int64_t sig_count = 0;
   bool init = false;
 
   void ensure(int64_t num) {
     if (init) return;
-    insig.resize(num);
-    for (int64_t i = 0; i < num; ++i) insig[i] = static_cast<int32_t>(i);
+    size_t nw = static_cast<size_t>((num + 63) / 64);
+    insig.assign(nw, ~0ull);
+    if (num & 63) insig[nw - 1] = (1ull << (num & 63)) - 1;
+    sig.assign(nw, 0);
+    newly.assign(nw, 0);
+    insig_count = num;
     init = true;
   }
 };
+
+inline uint64_t mask64(int n) { return n >= 64 ? ~0ull : ((1ull << n) - 1); }
+
+// Position of the r-th (0-based) set bit of w; r < popcount(w).
+inline int select_bit(uint64_t w, int r) {
+#ifdef __BMI2__
+  return __builtin_ctzll(_pdep_u64(1ull << r, w));
+#else
+  for (int i = 0; i < r; ++i) w &= w - 1;
+  return __builtin_ctzll(w);
+#endif
+}
+
+// Deposit the low popcount(mask) bits of bits_ onto the set positions of
+// mask, in ascending order (bit j of bits_ -> j-th set position).
+inline uint64_t deposit(uint64_t bits_, uint64_t mask) {
+#ifdef __BMI2__
+  return _pdep_u64(bits_, mask);
+#else
+  uint64_t out = 0;
+  while (mask) {
+    uint64_t low = mask & -mask;
+    if (bits_ & 1) out |= low;
+    bits_ >>= 1;
+    mask &= mask - 1;
+  }
+  return out;
+#endif
+}
 
 // One (chunk, plane) coding step.  Returns 0, or -1 on EOF (partial
 // updates keep exactly the reference's sequence-point semantics: value
@@ -164,123 +232,133 @@ int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane,
                  ChunkState* cs) {
   uint32_t bit_mask = plane >= 0 ? (1u << plane) : 0u;
   cs->ensure(num);
-  cs->newly.clear();
+  const size_t nw = cs->insig.size();
+  bool newly_any = false;
 
-  // Significance pass over the insignificant list with run jumping.
+  // Significance pass: run-jump over the insig bitmask (snapshot — newly
+  // bits are only folded in at the promote step, exactly like the
+  // reference's sig flag that is tested before it is set this plane).
   // get_rle/counter semantics (rle.h:66-77): reading run R makes the
   // current position zero #1 of R, and position (cursor + R) significant;
   // a pending counter c makes position (cursor + c - 1) significant.
-  size_t i = 0;
-  const size_t e = cs->insig.size();
-  while (i < e) {
-    size_t remaining = e - i;
+  int64_t remaining = cs->insig_count;
+  size_t wi = 0;
+  uint64_t cur = remaining ? cs->insig[0] : 0;  // word wi, consumed bits cleared
+  while (remaining > 0) {
+    int64_t skip;  // insignificant positions skipped before the 1-bit
     if (rle->cnt == 0) {
       int64_t r = rle->vli->get();
       if (r < 0) return -1;
-      if (static_cast<uint64_t>(r) >= remaining) {
-        rle->cnt = r - static_cast<int64_t>(remaining) + 1;
-        i = e;
+      if (r >= remaining) {
+        rle->cnt = r - remaining + 1;
         break;
       }
-      i += static_cast<size_t>(r);
+      skip = r;
     } else {
-      if (static_cast<uint64_t>(rle->cnt) > remaining) {
-        rle->cnt -= static_cast<int64_t>(remaining);
-        i = e;
+      if (rle->cnt > remaining) {
+        rle->cnt -= remaining;
         break;
       }
-      i += static_cast<size_t>(rle->cnt) - 1;
+      skip = rle->cnt - 1;
       rle->cnt = 0;
     }
-    // Position insig[i] is newly significant.  The reference writes the
-    // significance bit BEFORE reading the sign (decode.c:79-83) — on EOF
-    // at the sign read the bit must survive (partial-truncation parity).
-    int32_t pos = cs->insig[i];
+    // Advance `skip` set bits; the next one becomes significant.
+    remaining -= skip + 1;
+    for (;;) {
+      int pc = __builtin_popcountll(cur);
+      if (skip < pc) break;
+      skip -= pc;
+      cur = cs->insig[++wi];
+    }
+    int b = select_bit(cur, static_cast<int>(skip));
+    cur = (b == 63) ? 0 : (cur & ~((2ull << b) - 1));
+    int64_t pos = static_cast<int64_t>(wi) * 64 + b;
+    // The reference writes the significance bit BEFORE reading the sign
+    // (decode.c:79-83) — on EOF at the sign read the bit must survive
+    // (partial-truncation parity).
     val[pos] = static_cast<int32_t>(static_cast<uint32_t>(val[pos]) | bit_mask);
     int s = rle->vli->bits->get_bit();
     if (s < 0) return -1;
     val[pos] = static_cast<int32_t>(
         static_cast<uint32_t>(val[pos]) |
         (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
-    cs->newly.push_back(pos);
-    ++i;
+    cs->newly[wi] |= 1ull << b;
+    newly_any = true;
   }
 
-  // Refinement pass over previously-significant positions (position order).
-  // Bits are consecutive in the stream once any pending run is consumed, so
-  // read them in up-to-57-bit chunks and visit only the set bits (ctz).
-  if (getenv("DWT_SIMPLE_REF")) {
-    for (int32_t pos : cs->sig) {
-      int b = rle->get_bit();
-      if (b < 0) return -1;
-      if (b) val[pos] = static_cast<int32_t>(
-          static_cast<uint32_t>(val[pos]) | bit_mask);
-    }
-  } else {
-    const int32_t* sig = cs->sig.data();
-    size_t m = cs->sig.size();
-    size_t j = 0;
-    if (m && rle->cnt > 0) {  // first bit must close the pending run exactly
-      int b = rle->get_bit();
-      if (b < 0) return -1;
-      if (b) val[sig[0]] = static_cast<int32_t>(
-          static_cast<uint32_t>(val[sig[0]]) | bit_mask);
-      j = 1;
-    }
+  // Refinement pass over previously-significant positions (position
+  // order): per sig word with c set bits, pull c stream bits and deposit
+  // them onto the set positions with one pdep; only actual 1-bits are
+  // visited (ctz walk).
+  if (cs->sig_count > 0) {
     BitReader* br = rle->vli->bits;
-    while (j < m) {
-      br->refill();
-      int take = br->navail < static_cast<int64_t>(m - j)
-                     ? br->navail : static_cast<int>(m - j);
-      if (take > 57) take = 57;  // never shift acc by >= 64 (UB)
-      if (take <= 0) {
-        int b = br->get_bit();  // sets sticky EOF
-        if (b < 0) return -1;
-        if (b) val[sig[j]] = static_cast<int32_t>(
-            static_cast<uint32_t>(val[sig[j]]) | bit_mask);
-        ++j;
-        continue;
+    size_t w = 0;
+    uint64_t sw = cs->sig[0];
+    if (rle->cnt > 0) {  // first bit must close the pending run exactly
+      while (!sw) sw = cs->sig[++w];
+      int b = rle->get_bit();
+      if (b < 0) return -1;
+      int t = __builtin_ctzll(sw);
+      if (b)
+        val[w * 64 + t] = static_cast<int32_t>(
+            static_cast<uint32_t>(val[w * 64 + t]) | bit_mask);
+      sw &= sw - 1;
+    }
+    for (;;) {
+      int c = __builtin_popcountll(sw);
+      if (c) {
+        uint64_t bits_ = 0;
+        int got = 0;
+        while (got < c) {
+          if (br->navail == 0) br->refill();
+          int take = c - got;
+          if (take > br->navail) take = br->navail;
+          if (take > 63) take = 63;  // acc >>= 64 is UB (would re-read bits)
+          if (take == 0) {
+            // EOF mid-pass: apply the bits obtained so far to the lowest
+            // set positions (the serial decoder would have), then stop.
+            uint64_t swl = sw;
+            for (int k = 0; k < got; ++k) {
+              int t = __builtin_ctzll(swl);
+              swl &= swl - 1;
+              if ((bits_ >> k) & 1)
+                val[w * 64 + t] = static_cast<int32_t>(
+                    static_cast<uint32_t>(val[w * 64 + t]) | bit_mask);
+            }
+            br->fail = true;
+            return -1;
+          }
+          bits_ |= (br->acc & mask64(take)) << got;
+          br->acc >>= take;
+          br->navail -= take;
+          got += take;
+        }
+        uint64_t setpos = deposit(bits_, sw);
+        while (setpos) {
+          int t = __builtin_ctzll(setpos);
+          setpos &= setpos - 1;
+          val[w * 64 + t] = static_cast<int32_t>(
+              static_cast<uint32_t>(val[w * 64 + t]) | bit_mask);
+        }
       }
-      uint64_t chunk = (take >= 64) ? br->acc
-                                    : (br->acc & ((1ull << take) - 1));
-      br->acc >>= take;
-      br->navail -= take;
-      while (chunk) {
-        int t = __builtin_ctzll(chunk);
-        chunk &= chunk - 1;
-        int32_t pos = sig[j + t];
-        val[pos] = static_cast<int32_t>(
-            static_cast<uint32_t>(val[pos]) | bit_mask);
-      }
-      j += take;
+      if (++w >= nw) break;
+      sw = cs->sig[w];
     }
   }
 
-  // Promote: merge newly into sig (both ascending); rebuild insig by
-  // copying the surviving runs (memcpy-speed).
-  if (!cs->newly.empty()) {
-    std::vector<int32_t> merged;
-    merged.reserve(cs->sig.size() + cs->newly.size());
-    size_t a = 0, b = 0;
-    while (a < cs->sig.size() && b < cs->newly.size())
-      merged.push_back(cs->sig[a] < cs->newly[b] ? cs->sig[a++]
-                                                 : cs->newly[b++]);
-    while (a < cs->sig.size()) merged.push_back(cs->sig[a++]);
-    while (b < cs->newly.size()) merged.push_back(cs->newly[b++]);
-    cs->sig.swap(merged);
-
-    std::vector<int32_t> left;
-    left.reserve(cs->insig.size() - cs->newly.size());
-    size_t src = 0, k = 0;
-    for (size_t j = 0; j < cs->insig.size(); ++j) {
-      if (k < cs->newly.size() && cs->insig[j] == cs->newly[k]) {
-        ++k;
-        continue;
-      }
-      left.push_back(cs->insig[j]);
+  // Promote: fold newly into sig / out of insig (word ORs, no rebuilds).
+  if (newly_any) {
+    int64_t cnt = 0;
+    for (size_t w = 0; w < nw; ++w) {
+      uint64_t nv = cs->newly[w];
+      if (!nv) continue;
+      cs->sig[w] |= nv;
+      cs->insig[w] &= ~nv;
+      cs->newly[w] = 0;
+      cnt += __builtin_popcountll(nv);
     }
-    (void)src;
-    cs->insig.swap(left);
+    cs->sig_count += cnt;
+    cs->insig_count -= cnt;
   }
   return 0;
 }

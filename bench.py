@@ -163,6 +163,8 @@ def main():
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "decode_mps": round(dec_mps, 3),
         "decode_vs_baseline": round(dec_mps / DEC_BASELINE_MPS, 3),
+        "tiled_decode_mps": round(tdec_mps, 3),
+        "tiled_decode_vs_baseline": round(tdec_mps / DEC_BASELINE_MPS, 3),
         "warmup_seconds": round(warmup_s, 1),
     }))
 

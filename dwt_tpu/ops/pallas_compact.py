@@ -59,8 +59,8 @@ INTERPRET = False
 # Elements per unit chunk.  Metadata arrays are O(total/E * PMAX) — at 64K
 # they stay a few thousand entries (SMEM-friendly scalar prefetch).
 E = 65536
-SUBA = 512    # elements per kernel-A sub-chunk (token targets span 2*SUBA)
-SUBB = 1024   # elements per kernel-B sub-chunk (bit targets span 32 words)
+SUBA = 1024   # elements per kernel-A sub-chunk (token targets span 2*SUBA)
+SUBB = 2048   # elements per kernel-B sub-chunk (bit targets span 64 words)
 # Lane alignment of dynamic sub-window bases inside VMEM scratch: Mosaic
 # requires dynamic vector load/store offsets to be 128-lane aligned.
 SUBAL = 128
@@ -69,7 +69,7 @@ SUBAL = 128
 WTOK_SMALL = 8192
 WTOK_BIG = 2 * E + 256
 # Kernel A one-hot row tiers (target span 2*cnt + SUBAL misalignment).
-ATIERS = (256, 640, 2 * SUBA + SUBAL + 128)
+ATIERS = (256, 640, 1408, 2 * SUBA + SUBAL + 128)
 # Kernel B stream-word window and one-hot rows (<= 33 words + misalign).
 WREF = E // 32 + 256
 BROWS = SUBB // 32 + SUBAL + 32

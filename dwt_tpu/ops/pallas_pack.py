@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False  # test hook: run the kernel in interpret mode (CPU)
 
 BLOCKN = 2048     # tokens per grid step
-SUB = 256         # tokens per MXU sub-chunk
-SUBWIN = 768      # 514 (max word span of a 256-token sub-chunk) + 128 + pad
+SUB = 512         # tokens per MXU sub-chunk
+SUBWIN = 768      # big-tier rows; sub-chunks spanning more are "wild"
+SUBSMALL = 256    # small-tier rows: typical 512-token spans are ~60 words
 WIN = 2 * BLOCKN + 256  # block window: worst-case words + alignment slack
 
 
@@ -85,7 +86,7 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
         # tokens then simply match no one-hot row and contribute nothing)
         sub_o = pl.multiple_of(
             jnp.minimum(jnp.maximum(lw[0, 0], 0) & ~127, WIN - SUBWIN), 128)
-        rel = lw - sub_o         # in [0, 514 + 127)
+        rel = lw - sub_o         # in [0, 637 + 127)
         # columns: [c0 tokens | c1 tokens | c2 tokens] -> word rel + k
         rel3 = jnp.concatenate([rel, rel + 1, rel + 2], axis=1)  # (1, 3*SUB)
         vals = jnp.concatenate(
@@ -96,21 +97,34 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
         # route u32 -> s8 via s32 (Mosaic's u32->s8 rule recurses).
         shifts = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0) * 4
         v8 = ((vals >> shifts) & jnp.uint32(0xF)).astype(jnp.int32).astype(jnp.int8)
-        # one-hot (SUBWIN, 3*SUB): oh[w, t] = (w == rel3[t])
-        rows = jax.lax.broadcasted_iota(jnp.int32, (SUBWIN, 3 * SUB), 0)
-        oh = (rows == rel3).astype(jnp.int8)
-        # contract the token axis of both operands: (8, SUBWIN) exact sums
-        acc = jax.lax.dot_general(
-            v8, oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        # recombine nibble-plane sums with shifted ADDs (carries matter);
-        # s32 overflow into the sign bit IS mod-2^32 — bitcast to u32.
-        rshift = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 4
-        wordvals = jax.lax.bitcast_convert_type(
-            jnp.sum(acc << rshift, axis=0, keepdims=True, dtype=jnp.int32),
-            jnp.uint32)  # (1, SUBWIN)
-        scratch[:, pl.ds(sub_o, SUBWIN)] = (
-            scratch[:, pl.ds(sub_o, SUBWIN)] + wordvals)
+
+        def place(nrows):
+            # one-hot (nrows, 3*SUB): oh[w, t] = (w == rel3[t]); contract
+            # the token axis of both operands -> (8, nrows) exact sums
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, 3 * SUB), 0)
+            oh = (rows == rel3).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                v8, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # recombine nibble-plane sums with shifted ADDs (carries
+            # matter); s32 overflow into the sign bit IS mod-2^32.
+            rshift = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 4
+            wordvals = jax.lax.bitcast_convert_type(
+                jnp.sum(acc << rshift, axis=0, keepdims=True, dtype=jnp.int32),
+                jnp.uint32)  # (1, nrows)
+            scratch[:, pl.ds(sub_o, nrows)] = (
+                scratch[:, pl.ds(sub_o, nrows)] + wordvals)
+
+        # Tier by actual span: streams average a few bits/token, so most
+        # sub-chunks fit the small window at ~3x less one-hot + MXU work.
+        relmax = rel[0, SUB - 1] + 2  # widx is nondecreasing
+        @pl.when(relmax < SUBSMALL)
+        def _():
+            place(SUBSMALL)
+
+        @pl.when(relmax >= SUBSMALL)
+        def _():
+            place(SUBWIN)
 
     for s in range(BLOCKN // SUB):  # unrolled: traced indices would be i64
         sub_chunk(s * SUB)

@@ -19,8 +19,9 @@ def small_kernels(monkeypatch):
     from dwt_tpu.ops import pallas_pack as pp
 
     monkeypatch.setattr(pc, "E", 2048)
-    monkeypatch.setattr(pc, "WTOK_SMALL", 2048)
-    monkeypatch.setattr(pc, "WTOK_BIG", 2 * 2048 + 256)
+    # Windows must stay >= the largest ATIERS row count (2*SUBA + slack).
+    monkeypatch.setattr(pc, "WTOK_SMALL", max(4096, pc.ATIERS[-1]))
+    monkeypatch.setattr(pc, "WTOK_BIG", 2 * 2048 + pc.ATIERS[-1])
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
     monkeypatch.setattr(pp, "INTERPRET", True)

@@ -315,9 +315,30 @@ def _stats_from_lin(lin, pyr: Pyramid, channels: int):
     # bits at closed-form positions (refstart(step) + rank-among-refined)
     # and are packed directly into stream words, so the token array (and
     # the VLI order scan over it) holds only runs/signs/roots/flush.
+    #
+    # On the Pallas path each step's base is padded up to a pack-kernel
+    # block boundary (pad slots are 0-bit raw tokens — they emit nothing).
+    # The refinement-bit offset injection of a step then always lands
+    # exactly between pack blocks, so no block ever contains a large
+    # word-index jump: within a step consecutive compact tokens average
+    # well under the kernel's span budget (VLI <= 61 bits always paired
+    # with a 1-bit sign; root tokens <= 30 bits), making every block
+    # provably "tame" and the straggler scatter pass a dead path.  Costs
+    # ~(steps * BLOCKN/2) pad tokens, a few percent of T at 4K.
     cnt_s = jnp.where(valid_s, 2 * nS_s + refrun_ok_s.astype(jnp.int32), 0)
-    base_s = (steps_base0 + _excl_cumsum(cnt_s)).astype(jnp.int32)
-    T = steps_base0 + jnp.sum(cnt_s, dtype=jnp.int32) + 1  # +1 flush token
+    if _use_pallas():
+        from ..ops.pallas_pack import BLOCKN as _BT
+
+        cnt_al = (cnt_s + _BT - 1) // _BT * _BT
+        steps_base0_al = (steps_base0 + _BT - 1) // _BT * _BT
+    else:
+        cnt_al = cnt_s
+        steps_base0_al = steps_base0
+    base_s = (steps_base0_al + _excl_cumsum(cnt_al)).astype(jnp.int32)
+    T = steps_base0_al + jnp.sum(cnt_al, dtype=jnp.int32) + 1  # +1 flush token
+    # Offset-injection site per step: the next step's (block-aligned) base,
+    # so this step's pad slots keep pre-injection offsets.
+    inj_pos_s = jnp.concatenate([base_s[1:], (T - 1)[None]]).astype(jnp.int32)
     nref_v = jnp.where(valid_s, nRef_s, 0)
     refpfx_s = _excl_cumsum(nref_v).astype(jnp.int32)  # ref bits before step
     nref_total = jnp.sum(nref_v, dtype=jnp.int64)
@@ -333,6 +354,7 @@ def _stats_from_lin(lin, pyr: Pyramid, channels: int):
         planes_base=planes_base,
         step_base=unsort(base_s),
         step_end=unsort(base_s + cnt_s),
+        inj_pos=unsort(inj_pos_s),
         refpfx=unsort(refpfx_s),
         carry_in=unsort(carry_in_s),
         refrun_val=unsort(refrun_val_s),
@@ -579,17 +601,20 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     return orders.T.reshape(padded_T)
 
 
-def _use_pallas_pack(padded_T: int) -> bool:
-    """The MXU bit-packing kernel runs on TPU-class backends (~10x the XLA
-    scatter path); CPU test runs use the scatter path.  DWT_NO_PALLAS=1
-    forces the fallback."""
+def _use_pallas() -> bool:
+    """Pallas kernel paths run on TPU-class backends; CPU test runs use the
+    XLA scatter fallbacks.  DWT_NO_PALLAS=1 forces the fallback.  (Tests
+    monkeypatch this to exercise the kernels in interpret mode.)"""
     import os
 
+    return (os.environ.get("DWT_NO_PALLAS") != "1"
+            and jax.default_backend() != "cpu")
+
+
+def _use_pallas_pack(padded_T: int) -> bool:
     from ..ops import pallas_pack
 
-    return (os.environ.get("DWT_NO_PALLAS") != "1"
-            and jax.default_backend() != "cpu"
-            and padded_T % pallas_pack.BLOCKN == 0)
+    return _use_pallas() and padded_T % pallas_pack.BLOCKN == 0
 
 
 def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
@@ -654,7 +679,7 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     # compact tokens — add them into every later token's offset.
     nref_step = jnp.where(stats["valid"], stats["nRef"], 0).reshape(-1)
     inject = jnp.zeros(padded_T + 1, jnp.int32).at[
-        jnp.clip(stats["step_end"].reshape(-1), 0, padded_T)
+        jnp.clip(stats["inj_pos"].reshape(-1), 0, padded_T)
     ].add(nref_step)[:padded_T]
     off = off_base + jnp.cumsum(inject)
 
@@ -670,13 +695,15 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
         from ..ops.pallas_pack import BLOCKN, pack_words_pallas, wild_blocks
 
         words = pack_words_pallas(widx, c0, c1, c2, nwords)
-        # Straggler pass: the kernel skips "wild" blocks (those containing a
-        # refinement-bit injection jump, <= one per schedule step, plus the
-        # one straddling the stream tail).  Gather their tokens and add the
-        # contributions with a small scatter.  MAXWILD=1536 provably covers
-        # C*L*PMAX steps + 1 (tokens are <= 64 bits, so nothing else can
-        # exceed the window).
-        MAXWILD = 1536
+        # Straggler pass for "wild" blocks the kernel skips.  With step
+        # bases padded to BLOCKN (see _stats_from_lin) injection jumps fall
+        # between blocks and intra-step token spans are provably within the
+        # window budget, so no block is ever wild — this pass is belt and
+        # braces (it also keeps the kernel correct if the span analysis is
+        # ever violated by a future format extension).  At the old
+        # MAXWILD=1536 the padded gather/scatter cost ~455 ms; at 32 it is
+        # noise.
+        MAXWILD = 32
         nblk = padded_T // BLOCKN
         wild = wild_blocks(widx)
         wix = jnp.nonzero(wild, size=MAXWILD, fill_value=nblk)[0]

@@ -24,6 +24,13 @@ def small_kernels(monkeypatch):
     monkeypatch.setattr(pc, "WTOK_BIG", 2 * 2048 + pc.ATIERS[-1])
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
+    # Small pack blocks keep the per-step base padding (and interpret-mode
+    # runtime) proportionate on tiny test images.
+    monkeypatch.setattr(pp, "BLOCKN", 256)
+    monkeypatch.setattr(pp, "SUB", 64)
+    monkeypatch.setattr(pp, "SUBSMALL", 128)
+    monkeypatch.setattr(pp, "SUBWIN", 256)
+    monkeypatch.setattr(pp, "WIN", 2 * 256 + 256)
     monkeypatch.setattr(pp, "INTERPRET", True)
     yield
 
@@ -36,6 +43,7 @@ def test_stage2_kernels_byte_identical(small_kernels, monkeypatch, kind):
     rng = np.random.default_rng(11)
     img = random_image(rng, 64, 48, 3, kind)
 
+    monkeypatch.setattr(encoder, "_use_pallas", lambda: True)
     monkeypatch.setattr(encoder, "_use_pallas_pack", lambda t: True)
     enc = encoder.Encoder(64, 48, 3)
     got = enc.encode(img)

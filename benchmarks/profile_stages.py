@@ -63,6 +63,17 @@ timed("stage1 transform+stats", lambda im: enc._stage1(im, enc._perm), img_dev)
 timed("stage1a transform only",
       lambda im: _transform_and_stats(im, pyr, C, False, enc._perm)[0], img_dev)
 
+from dwt_tpu.ops.color import rgb_to_ycocg  # noqa: E402
+from dwt_tpu.ops.lifting import dwt2d_fwd  # noqa: E402
+
+timed("stage1b ycocg+dwt only",
+      lambda im: dwt2d_fwd(rgb_to_ycocg(im.astype(jnp.int32)), pyr), img_dev)
+timed("stage1c perm gather only",
+      lambda co: co.reshape(pyr.total, 3)[enc._perm].T,
+      dwt2d_fwd(rgb_to_ycocg(img_dev.astype(jnp.int32)), pyr))
+timed("stage1d stats from lin",
+      lambda l: encoder._stats_from_lin(l, pyr, C)[1], lin)
+
 tokA, vmag, com = timed(
     "A: sig-token compaction",
     lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T),

@@ -88,7 +88,10 @@ def _vli_next_state(v, s, is_vli):
     return jnp.where(is_vli, ns, s).astype(s.dtype)
 
 
-ALIGN = 512  # lane alignment of scan-order segments (hilbert.padded_layout)
+ALIGN = 8192  # lane alignment of scan-order segments (hilbert.padded_layout).
+# 8 x the compaction kernels' SUBA row width: every unit's element start
+# maps to a whole 8-row sublane tile of the 2-D packed-element array, which
+# Mosaic requires for dynamic sublane (dim-0) slicing of int32 memrefs.
 
 
 class _Segs:
@@ -390,16 +393,19 @@ def _detail_q(lin, segs):
 
 
 def _packed_elems(lin, segs):
-    """(1, C*n + E) int32 sign|mag element stream for the Pallas kernels:
-    bits 0..29 = |coeff|, bit 30 = sign, -1 = padding/invalid."""
-    from ..ops.pallas_compact import E
+    """((C*n + E) / SUBA, SUBA) int32 sign|mag element rows for the Pallas
+    kernels: bits 0..29 = |coeff|, bit 30 = sign, -1 = padding/invalid.
+    Row width SUBA == ALIGN / 8, so every unit starts on a whole 8-row
+    sublane tile (required for the kernels' dynamic dim-0 slicing)."""
+    from ..ops.pallas_compact import E, SUBA
 
     det = lin[:, segs.root_pad :]
     valid = segs.valid()[None, :]
     vm = jnp.where(valid, jnp.abs(det) | (det < 0).astype(jnp.int32) << 30,
                    -1).astype(jnp.int32)
-    return jnp.concatenate(
+    flat = jnp.concatenate(
         [vm.reshape(1, -1), jnp.full((1, E), -1, jnp.int32)], axis=1)
+    return flat.reshape(-1, SUBA)
 
 
 def _unit_common(stats, segs, pyr: Pyramid, channels: int):
@@ -446,7 +452,7 @@ def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
     tokbuf = padded_T + pc.WTOK_BIG + 256
     ws = jnp.clip(u_tok0 & ~jnp.int32(127), 0, tokbuf - pc.WTOK_BIG)
     meta = jnp.stack([
-        com["elem"], com["elen"], com["p"], ws, u_tok0 - ws,
+        com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_tok0 - ws,
         zcar.reshape(-1)[com["flat_ck"]],
         jnp.where(com["valid"], nS_u, 0),
         jnp.zeros_like(nS_u),
@@ -754,7 +760,7 @@ def _ref_bits_pallas(words, off_base, vmag, com, stats, pyr: Pyramid,
     nwords = words.shape[0]
     ws = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0, nwords - pc.WREF)
     meta = jnp.stack([
-        com["elem"], com["elen"], com["p"], ws, u_bit0 - 32 * ws,
+        com["elem"] // pc.SUBB, com["elen"], com["p"], ws, u_bit0 - 32 * ws,
         jnp.zeros_like(nR_u),
         jnp.where(com["valid"], nR_u, 0),
         jnp.zeros_like(nR_u),

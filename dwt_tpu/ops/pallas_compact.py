@@ -16,13 +16,18 @@ same way ops/pallas_pack.py does for codeword packing:
 * Per-unit metadata (element span, plane, output base, carried ranks) is
   computed in XLA (dwt_tpu/codec/encoder.py builds it from the per-chunk
   plane histograms of stage 1) and scalar-prefetched.
-* Within a unit, 512/1024-element sub-chunks compute masks and local ranks
-  with log-step shifted-add prefix sums (Mosaic has no cumsum primitive),
-  then compact values into the window with a one-hot (window-position ==
-  target) int8 matrix contracted against the nibble planes of the values on
-  the MXU (s8 x s8 -> s32 is exact; each window slot receives exactly one
-  value).  Row-count tiers keep the one-hot small for the common sparse
-  case.
+* The packed elements arrive as a 2-D (rows, 1024) array (row width ==
+  encoder.ALIGN / 8, so units start on whole 8-row sublane tiles — Mosaic
+  needs dim-0 slice offsets divisible by the tiling).  A unit's masks and local
+  ranks are computed for ALL of its rows in one (64, 1024) vector pass —
+  lane-axis prefix sums by log-step shifted adds (Mosaic has no cumsum
+  primitive), cross-row rank carries by a strictly-lower-triangular f32
+  matmul on the MXU.  A per-row loop then only *places*: values compact
+  into the output window with a one-hot (window-position == target) int8
+  matrix contracted against the nibble planes of the values on the MXU
+  (s8 x s8 -> s32 is exact; each window slot receives exactly one value).
+  Empty rows skip with two reductions; row-count tiers keep the one-hot
+  small for the common sparse case.
 
 Kernel A (`compact_tokens_pallas`) places significance-run/sign token
 *values* into the dense token array: the j-th newly-significant coefficient
@@ -59,8 +64,15 @@ INTERPRET = False
 # Elements per unit chunk.  Metadata arrays are O(total/E * PMAX) — at 64K
 # they stay a few thousand entries (SMEM-friendly scalar prefetch).
 E = 65536
-SUBA = 1024   # elements per kernel-A sub-chunk (token targets span 2*SUBA)
-SUBB = 2048   # elements per kernel-B sub-chunk (bit targets span 64 words)
+# Elements per kernel sub-chunk == one row of the 2-D packed-element array
+# (and of the encoder's lane-aligned segment layout, encoder.ALIGN): both
+# kernels classify and rank ALL rows of a unit in a handful of (rows, SUB)
+# vector ops — cross-row rank carries come from a lower-triangular MXU
+# matmul — and then loop rows only to place, skipping empty ones with two
+# cheap reductions.  The old (1, 512)-per-iteration form spent most of its
+# time re-running the mask pipeline at 1/8 VPU occupancy.
+SUBA = 1024   # kernel-A row width (token targets span 2*SUBA per row)
+SUBB = 1024   # kernel-B row width (bit targets span 32 words + misalign)
 # Lane alignment of dynamic sub-window bases inside VMEM scratch: Mosaic
 # requires dynamic vector load/store offsets to be 128-lane aligned.
 SUBAL = 128
@@ -83,14 +95,29 @@ MCOLS = 8
 
 
 def _excl_lanes(m, n):
-    """Exclusive prefix sum along the lane axis of (1, n) int32."""
+    """Exclusive prefix sum along the lane axis of (rows, n) int32."""
     x = m
     k = 1
     while k < n:
         x = x + jnp.concatenate(
-            [jnp.zeros((1, k), x.dtype), x[:, :-k]], axis=1)
+            [jnp.zeros((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
         k *= 2
     return x - m
+
+
+def _excl_rows(col):
+    """Exclusive prefix sum down the rows of a (R, 1) int32 column, via
+    log-step shifted adds along the sublane axis.  (A lower-triangular f32
+    MXU matmul is NOT exact here: Mosaic lowers f32 dots through a single
+    bf16 pass, which rounds integer sums beyond 2^8 — measured on v5e.)"""
+    R = col.shape[0]
+    x = col
+    k = 1
+    while k < R:
+        x = x + jnp.concatenate(
+            [jnp.zeros((k, 1), x.dtype), x[:-k, :]], axis=0)
+        k *= 2
+    return x - col
 
 
 def _nibbles(vals):
@@ -125,16 +152,18 @@ def _onehot_place(scratch, base, rows, tgt, vals, bitcast):
 MAGMASK = (1 << 30) - 1  # bits 0..29 hold |coeff| (< 2^29); bit 30 = sign
 
 
-def _masks(v, p, lane0, u_len):
-    """Element classification for plane p from the packed sign|mag input.
+def _masks2d(v, p, u_len):
+    """Element classification for plane p from the (R, SUB) packed
+    sign|mag rows of one unit.
 
     v < 0 marks invalid (segment padding); beyond u_len lies the next
     segment's data.  (mag >> p): 0 -> zero-run member, 1 -> newly
     significant, >1 -> refined.
     """
-    n = v.shape[1]
-    inlen = (lane0 + jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)) < u_len
-    ok = (v >= 0) & inlen
+    R, n = v.shape
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (R, n), 0) * n
+            + jax.lax.broadcasted_iota(jnp.int32, (R, n), 1))
+    ok = (v >= 0) & (gidx < u_len)
     mag = v & MAGMASK
     sh = jax.lax.shift_right_logical(mag, p)
     return ok, mag, sh
@@ -144,20 +173,44 @@ def _masks(v, p, lane0, u_len):
 # Kernel A: significance-token compaction
 # ---------------------------------------------------------------------------
 
-def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
-              sem_el, sem_in, sem_out):
+def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
+              win_s, win_b, sem_el, sem_in, sem_out):
     del tok_in  # aliased with tok_out
     b = pl.program_id(0)
     nsig = meta_ref[8 * b + 6]
+    RA = E // SUBA
 
     @pl.when(nsig > 0)
     def _():
-        el0 = pl.multiple_of(meta_ref[8 * b + 0], 512)
+        # Unit's first row of the 2-D elements: encoder.ALIGN == 8 * SUBA
+        # makes every unit start on an 8-row sublane tile, which Mosaic
+        # requires for dynamic dim-0 memref slicing.
+        row0 = pl.multiple_of(meta_ref[8 * b + 0], 8)
         cp_el = pltpu.make_async_copy(
-            vmag.at[:, pl.ds(el0, E)], elbuf, sem_el)
+            vmag.at[pl.ds(row0, RA), :], elbuf, sem_el)
         cp_el.start()
         cp_el.wait()
         ws = pl.multiple_of(meta_ref[8 * b + 3], 128)
+
+        # Whole-unit classification + ranks in one 2-D pass.
+        v = elbuf[:, :]
+        ok, _, sh = _masks2d(v, meta_ref[8 * b + 2], meta_ref[8 * b + 1])
+        mS = ok & (sh == 1)
+        mZ = ok & (sh == 0)
+        mSi = mS.astype(jnp.int32)
+        sex = _excl_lanes(mSi, SUBA)
+        zex = _excl_lanes(mZ.astype(jnp.int32), SUBA)
+        cnt_r = jnp.sum(mSi, axis=1, keepdims=True, dtype=jnp.int32)
+        z_r = jnp.sum(mZ, axis=1, keepdims=True, dtype=jnp.int32)
+        scum = _excl_rows(cnt_r)
+        zcum = meta_ref[8 * b + 5] + _excl_rows(z_r)
+        zpfx = zcum + zex
+        sgn = (v >> 30) & 1
+        loc = meta_ref[8 * b + 4] + 2 * (scum + sex)  # even slots
+        tgtbuf[:, :] = jnp.concatenate(
+            [jnp.where(mS, loc, -1), jnp.where(mS, loc + 1, -1)], axis=1)
+        valbuf[:, :] = jnp.concatenate(
+            [jnp.where(mS, zpfx, 0), jnp.where(mS, sgn, 0)], axis=1)
 
         def run(win, wtok):
             cp_in = pltpu.make_async_copy(
@@ -165,45 +218,45 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
             cp_in.start()
             cp_in.wait()
 
-            def sub(s, carry):
-                zcum, scum = carry
-                v = elbuf[:, pl.ds(s * SUBA, SUBA)]
-                ok, mag, sh = _masks(v, meta_ref[8 * b + 2],
-                                     s * SUBA, meta_ref[8 * b + 1])
-                mS = ok & (sh == 1)
-                mZ = ok & (sh == 0)
-                mSi = mS.astype(jnp.int32)
-                cnt = jnp.sum(mSi, axis=1, dtype=jnp.int32)[0]
+            # Dynamic sublane offsets must be 8-row aligned: walk 8-row
+            # superblocks (skipping empty ones), statically unrolling the
+            # single-row placements inside each.
+            SB = min(8, RA)
 
-                @pl.when(cnt > 0)
+            def sub(sb, c):
+                r0 = pl.multiple_of(sb * SB, SB)
+                tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, 2*SUBA)
+                nblk = jnp.sum(jnp.sum(
+                    (tblk >= 0).astype(jnp.int32), axis=1, keepdims=True,
+                    dtype=jnp.int32), axis=0)[0]
+
+                @pl.when(nblk > 0)
                 def _():
-                    sex = _excl_lanes(mSi, SUBA)
-                    zpfx = zcum + _excl_lanes(mZ.astype(jnp.int32), SUBA)
-                    sgn = (v >> 30) & 1
-                    loc = meta_ref[8 * b + 4] + 2 * (scum + sex)  # even slots
-                    tgt = jnp.concatenate(
-                        [jnp.where(mS, loc, -1), jnp.where(mS, loc + 1, -1)],
-                        axis=1)
-                    vals = jnp.concatenate(
-                        [jnp.where(mS, zpfx, 0), jnp.where(mS, sgn, 0)],
-                        axis=1).astype(jnp.uint32)
-                    base0 = meta_ref[8 * b + 4] + 2 * scum
-                    for i, rows in enumerate(ATIERS):
-                        lim = (rows - SUBAL) // 2
-                        lo = 0 if i == 0 else (ATIERS[i - 1] - SUBAL) // 2
-                        cond = cnt <= lim if i < len(ATIERS) - 1 else cnt > lo
+                    vblk = valbuf[pl.ds(r0, SB), :].astype(jnp.uint32)
+                    for j in range(SB):
+                        tgt = tblk[j:j + 1, :]
+                        vals = vblk[j:j + 1, :]
+                        n2 = jnp.sum((tgt >= 0).astype(jnp.int32), axis=1)[0]
 
-                        @pl.when(cond if i == len(ATIERS) - 1
-                                 else (cnt > lo) & (cnt <= lim))
-                        def _(rows=rows):
-                            base = jnp.minimum(
-                                (base0 // SUBAL) * SUBAL, wtok - rows)
-                            _onehot_place(win, base, rows, tgt, vals, False)
+                        @pl.when(n2 > 0)
+                        def _(tgt=tgt, vals=vals, n2=n2):
+                            base0 = jnp.min(jnp.where(
+                                tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
+                            for i, rows in enumerate(ATIERS):
+                                lim = rows - SUBAL  # covers n2 = 2*cnt targets
+                                lo = 0 if i == 0 else ATIERS[i - 1] - SUBAL
 
-                return (zcum + jnp.sum(mZ, axis=1, dtype=jnp.int32)[0],
-                            scum + cnt)
+                                @pl.when((n2 > lo) if i == len(ATIERS) - 1
+                                         else (n2 > lo) & (n2 <= lim))
+                                def _(rows=rows):
+                                    base = jnp.minimum(
+                                        (base0 // SUBAL) * SUBAL, wtok - rows)
+                                    _onehot_place(
+                                        win, base, rows, tgt, vals, False)
 
-            jax.lax.fori_loop(0, E // SUBA, sub, (meta_ref[8 * b + 5], jnp.int32(0)))
+                return c
+
+            jax.lax.fori_loop(0, RA // SB, sub, jnp.int32(0))
             cp_out = pltpu.make_async_copy(
                 win, tok_out.at[:, pl.ds(ws, wtok)], sem_out)
             cp_out.start()
@@ -220,9 +273,10 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, win_s, win_b,
 
 def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
     """Accumulate significance-token values into the (1, TBUF) int32 token
-    buffer.  ``vmag``: (1, NE) packed sign|mag elements; ``meta``: (U, 8)
-    int32 per-unit metadata in stream order; ``tok0``: zero-initialized
-    buffer including >= WTOK_BIG + 128 slack beyond the last real token.
+    buffer.  ``vmag``: (NR, SUBA) packed sign|mag element rows; ``meta``:
+    (U, 8) int32 per-unit metadata in stream order (col 0 = first element
+    row); ``tok0``: zero-initialized buffer including >= WTOK_BIG + 128
+    slack beyond the last real token.
     """
     if interpret is None:
         interpret = INTERPRET
@@ -236,7 +290,9 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, E), jnp.int32),
+            pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
+            pltpu.VMEM((E // SUBA, 2 * SUBA), jnp.int32),
+            pltpu.VMEM((E // SUBA, 2 * SUBA), jnp.int32),
             pltpu.VMEM((1, WTOK_SMALL), jnp.int32),
             pltpu.VMEM((1, WTOK_BIG), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -263,16 +319,17 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
 # Kernel B: refinement bits -> final stream words
 # ---------------------------------------------------------------------------
 
-def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
-              sem_el, sem_in, sem_out):
+def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
+              win, sem_el, sem_in, sem_out):
     del words_in
     b = pl.program_id(0)
+    RB = E // SUBB
 
     @pl.when(meta_ref[8 * b + 6] > 0)
     def _():
-        el0 = pl.multiple_of(meta_ref[8 * b + 0], 512)
+        row0 = pl.multiple_of(meta_ref[8 * b + 0], 8)  # see _a_kernel
         cp_el = pltpu.make_async_copy(
-            vmag.at[:, pl.ds(el0, E)], elbuf, sem_el)
+            vmag.at[pl.ds(row0, RB), :], elbuf, sem_el)
         cp_el.start()
         cp_el.wait()
         ws = pl.multiple_of(meta_ref[8 * b + 3], 128)
@@ -281,30 +338,48 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
         cp_in.start()
         cp_in.wait()
 
-        def sub(s, rcum):
-            v = elbuf[:, pl.ds(s * SUBB, SUBB)]
-            ok, mag, sh = _masks(v, meta_ref[8 * b + 2], s * SUBB, meta_ref[8 * b + 1])
-            mR = ok & (sh > 1)
-            mRi = mR.astype(jnp.int32)
-            cnt = jnp.sum(mRi, axis=1, dtype=jnp.int32)[0]
+        # Whole-unit classification + bit positions in one 2-D pass.
+        v = elbuf[:, :]
+        ok, _, sh = _masks2d(v, meta_ref[8 * b + 2], meta_ref[8 * b + 1])
+        mR = ok & (sh > 1)
+        mRi = mR.astype(jnp.int32)
+        rex = _excl_lanes(mRi, SUBB)
+        r_r = jnp.sum(mRi, axis=1, keepdims=True, dtype=jnp.int32)
+        rcum = _excl_rows(r_r)
+        bitpos = meta_ref[8 * b + 4] + rcum + rex  # window-local bits
+        bit = sh.astype(jnp.uint32) & 1
+        valbuf[:, :] = jnp.where(
+            mR, bit << (bitpos & 31).astype(jnp.uint32), 0)
+        tgtbuf[:, :] = jnp.where(mR, bitpos >> 5, -1)
 
-            @pl.when(cnt > 0)
+        SB = min(8, RB)
+
+        def sub(sb, c):
+            r0 = pl.multiple_of(sb * SB, SB)
+            tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBB)
+            nblk = jnp.sum(jnp.sum(
+                (tblk >= 0).astype(jnp.int32), axis=1, keepdims=True,
+                dtype=jnp.int32), axis=0)[0]
+
+            @pl.when(nblk > 0)
             def _():
-                rex = _excl_lanes(mRi, SUBB)
-                bitpos = meta_ref[8 * b + 4] + rcum + rex  # window-local bits
-                bit = jax.lax.shift_right_logical(
-                    mag, meta_ref[8 * b + 2]).astype(jnp.uint32) & 1
-                val = jnp.where(
-                    mR, bit << (bitpos & 31).astype(jnp.uint32), 0)
-                tgt = jnp.where(mR, bitpos >> 5, -1)
-                base = jnp.minimum(
-                    ((meta_ref[8 * b + 4] + rcum) >> 5) // SUBAL * SUBAL,
-                    WREF - BROWS)
-                _onehot_place(win, base, BROWS, tgt, val, True)
+                vblk = valbuf[pl.ds(r0, SB), :]
+                for j in range(SB):
+                    tgt = tblk[j:j + 1, :]
+                    vals = vblk[j:j + 1, :]
+                    cnt = jnp.sum((tgt >= 0).astype(jnp.int32), axis=1)[0]
 
-            return rcum + cnt
+                    @pl.when(cnt > 0)
+                    def _(tgt=tgt, vals=vals):
+                        base0 = jnp.min(jnp.where(
+                            tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
+                        base = jnp.minimum(
+                            base0 // SUBAL * SUBAL, WREF - BROWS)
+                        _onehot_place(win, base, BROWS, tgt, vals, True)
 
-        jax.lax.fori_loop(0, E // SUBB, sub, jnp.int32(0))
+            return c
+
+        jax.lax.fori_loop(0, RB // SB, sub, jnp.int32(0))
         cp_out = pltpu.make_async_copy(
             win, words_out.at[:, pl.ds(ws, WREF)], sem_out)
         cp_out.start()
@@ -313,8 +388,9 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, win,
 
 def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
     """OR every refinement bit into the packed stream words at its final
-    position.  ``words``: (1, nwords) uint32 (already holding the compact
-    token codewords); metadata column 4 carries u_bit0 - 32 * window_start.
+    position.  ``vmag``: (NR, SUBB) packed element rows; ``words``:
+    (1, nwords) uint32 (already holding the compact token codewords);
+    metadata column 4 carries u_bit0 - 32 * window_start.
     """
     if interpret is None:
         interpret = INTERPRET
@@ -328,7 +404,9 @@ def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, E), jnp.int32),
+            pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
+            pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
+            pltpu.VMEM((E // SUBB, SUBB), jnp.uint32),
             pltpu.VMEM((1, WREF), jnp.uint32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -439,7 +439,13 @@ def _unit_common(stats, segs, pyr: Pyramid, channels: int):
 
 def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
                        padded_T: int):
-    """Kernel-A path: compact (zpfx, sign) pairs into the token buffer."""
+    """Kernel-A path: compact (zpfx, sign) pairs into the token buffer.
+
+    The kernel works in pair space — one placed value ((zpfx << 1) | sign)
+    per newly-significant element at consecutive pair ranks; step bases
+    are even (pack-block aligned), so every pair rank is a token slot
+    divided by two.  The interleaved token array is then derived densely
+    here (stack + reshape, pure bandwidth)."""
     from ..ops import pallas_compact as pc
 
     segs = _Segs(pyr)
@@ -447,20 +453,22 @@ def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
     scar = segs.level_excl_cumsum(stats["nS_ck"])
     zcar = segs.level_excl_cumsum(stats["nZ_ck"])
     nS_u = stats["nS_ck"].reshape(-1)[com["flat_ck"]]
-    u_tok0 = (stats["step_base"].reshape(-1)[com["flat_step"]]
-              + 2 * scar.reshape(-1)[com["flat_ck"]])
-    tokbuf = padded_T + pc.WTOK_BIG + 256
-    ws = jnp.clip(u_tok0 & ~jnp.int32(127), 0, tokbuf - pc.WTOK_BIG)
+    u_pair0 = (stats["step_base"].reshape(-1)[com["flat_step"]] >> 1) \
+        + scar.reshape(-1)[com["flat_ck"]]
+    npair = padded_T // 2
+    pairbuf = npair + pc.WTOK_BIG + 256
+    ws = jnp.clip(u_pair0 & ~jnp.int32(127), 0, pairbuf - pc.WTOK_BIG)
     meta = jnp.stack([
-        com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_tok0 - ws,
+        com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_pair0 - ws,
         zcar.reshape(-1)[com["flat_ck"]],
         jnp.where(com["valid"], nS_u, 0),
         jnp.zeros_like(nS_u),
     ], axis=1).astype(jnp.int32)
     vmag = _packed_elems(lin, segs)
-    tok0 = jnp.zeros((1, tokbuf), jnp.int32)
-    out = pc.compact_tokens_pallas(vmag, meta, tok0)
-    return out[0, :padded_T], vmag, com
+    pair0 = jnp.zeros((1, pairbuf), jnp.int32)
+    pairs = pc.compact_tokens_pallas(vmag, meta, pair0)[0, :npair]
+    tok = jnp.stack([pairs >> 1, pairs & 1], axis=-1).reshape(-1)
+    return tok, vmag, com
 
 
 def _sig_tokens_xla(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
@@ -806,7 +814,14 @@ def _stage2_pipeline(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
     """
     C = channels
     nwords = _stream_words(pyr, C, padded_T)
-    use_pallas = _use_pallas_pack(padded_T)
+    # Kernel A encodes (zpfx << 1) | sign in one int32, which needs every
+    # zero-run prefix < 2^30 — guaranteed when no detail segment can hold
+    # 2^30 elements (only ~37K x 37K images break it; the XLA fallback has
+    # no such limit).
+    seg_max = max(
+        (pyr.pixels[l + 1] - pyr.pixels[l] for l in range(pyr.levels)),
+        default=0) + ALIGN
+    use_pallas = _use_pallas_pack(padded_T) and seg_max < (1 << 30)
     if use_pallas:
         tok0, vmag, com = _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
     else:

@@ -30,10 +30,15 @@ same way ops/pallas_pack.py does for codeword packing:
   small for the common sparse case.
 
 Kernel A (`compact_tokens_pallas`) places significance-run/sign token
-*values* into the dense token array: the j-th newly-significant coefficient
-of a step owns token slots base+2j (its zero-count prefix, later turned
-into the run length by a dense diff) and base+2j+1 (its sign).  Reference
-semantics being reproduced: encode.c:70-83 significance pass.
+*values*: the j-th newly-significant coefficient of a step owns token
+slots base+2j (its zero-count prefix, later turned into the run length by
+a dense diff) and base+2j+1 (its sign).  Because the two tokens of a pair
+are derivable from one 31-bit value ((zpfx << 1) | sign) and step bases
+are even (pack-block aligned), the kernel works in *pair space*: one
+placement per significant element at consecutive pair ranks — half the
+lanes and half the target span of placing both tokens — and the encoder
+expands pairs into the interleaved token array with one dense XLA pass.
+Reference semantics being reproduced: encode.c:70-83 significance pass.
 
 Kernel B (`scatter_refbits_pallas`) ORs refinement bits directly into the
 final stream words: the j-th still-refined coefficient of a step owns bit
@@ -77,11 +82,12 @@ SUBB = 1024   # kernel-B row width (bit targets span 32 words + misalign)
 # requires dynamic vector load/store offsets to be 128-lane aligned.
 SUBAL = 128
 
-# Kernel A token windows (int32 token slots).
-WTOK_SMALL = 8192
-WTOK_BIG = 2 * E + 256
-# Kernel A one-hot row tiers (target span 2*cnt + SUBAL misalignment).
-ATIERS = (256, 640, 1408, 2 * SUBA + SUBAL + 128)
+# Kernel A pair windows (int32 pair slots; a pair = (zpfx, sign) encoded
+# as (zpfx << 1) | sign, expanded to two token slots outside the kernel).
+WTOK_SMALL = 4096
+WTOK_BIG = E + 256
+# Kernel A one-hot row tiers (target span = cnt + SUBAL misalignment).
+ATIERS = (192, 384, 768, SUBA + SUBAL)
 # Kernel B stream-word window and one-hot rows (<= 33 words + misalign).
 WREF = E // 32 + 256
 BROWS = SUBB // 32 + SUBAL + 32
@@ -206,11 +212,9 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
         zcum = meta_ref[8 * b + 5] + _excl_rows(z_r)
         zpfx = zcum + zex
         sgn = (v >> 30) & 1
-        loc = meta_ref[8 * b + 4] + 2 * (scum + sex)  # even slots
-        tgtbuf[:, :] = jnp.concatenate(
-            [jnp.where(mS, loc, -1), jnp.where(mS, loc + 1, -1)], axis=1)
-        valbuf[:, :] = jnp.concatenate(
-            [jnp.where(mS, zpfx, 0), jnp.where(mS, sgn, 0)], axis=1)
+        loc = meta_ref[8 * b + 4] + scum + sex  # pair rank
+        tgtbuf[:, :] = jnp.where(mS, loc, -1)
+        valbuf[:, :] = jnp.where(mS, (zpfx << 1) | sgn, 0)
 
         def run(win, wtok):
             cp_in = pltpu.make_async_copy(
@@ -225,7 +229,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
 
             def sub(sb, c):
                 r0 = pl.multiple_of(sb * SB, SB)
-                tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, 2*SUBA)
+                tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBA)
                 nblk = jnp.sum(jnp.sum(
                     (tblk >= 0).astype(jnp.int32), axis=1, keepdims=True,
                     dtype=jnp.int32), axis=0)[0]
@@ -243,7 +247,7 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
                             base0 = jnp.min(jnp.where(
                                 tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
                             for i, rows in enumerate(ATIERS):
-                                lim = rows - SUBAL  # covers n2 = 2*cnt targets
+                                lim = rows - SUBAL  # covers n2 = cnt targets
                                 lo = 0 if i == 0 else ATIERS[i - 1] - SUBAL
 
                                 @pl.when((n2 > lo) if i == len(ATIERS) - 1
@@ -262,21 +266,22 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
             cp_out.start()
             cp_out.wait()
 
-        @pl.when(2 * nsig <= WTOK_SMALL - 192)
+        @pl.when(nsig <= WTOK_SMALL - 192)
         def _():
             run(win_s, WTOK_SMALL)
 
-        @pl.when(2 * nsig > WTOK_SMALL - 192)
+        @pl.when(nsig > WTOK_SMALL - 192)
         def _():
             run(win_b, WTOK_BIG)
 
 
 def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
-    """Accumulate significance-token values into the (1, TBUF) int32 token
-    buffer.  ``vmag``: (NR, SUBA) packed sign|mag element rows; ``meta``:
-    (U, 8) int32 per-unit metadata in stream order (col 0 = first element
-    row); ``tok0``: zero-initialized buffer including >= WTOK_BIG + 128
-    slack beyond the last real token.
+    """Accumulate significance-token PAIR values ((zpfx << 1) | sign, one
+    per newly-significant element) into the (1, PBUF) int32 pair buffer.
+    ``vmag``: (NR, SUBA) packed sign|mag element rows; ``meta``: (U, 8)
+    int32 per-unit metadata in stream order (col 0 = first element row,
+    cols 3/4 in pair slots); ``tok0``: zero-initialized pair buffer
+    including >= WTOK_BIG + 128 slack beyond the last real pair.
     """
     if interpret is None:
         interpret = INTERPRET
@@ -291,8 +296,8 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
-            pltpu.VMEM((E // SUBA, 2 * SUBA), jnp.int32),
-            pltpu.VMEM((E // SUBA, 2 * SUBA), jnp.int32),
+            pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
+            pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
             pltpu.VMEM((1, WTOK_SMALL), jnp.int32),
             pltpu.VMEM((1, WTOK_BIG), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -19,9 +19,9 @@ def small_kernels(monkeypatch):
     from dwt_tpu.ops import pallas_pack as pp
 
     monkeypatch.setattr(pc, "E", 2048)
-    # Windows must stay >= the largest ATIERS row count (2*SUBA + slack).
-    monkeypatch.setattr(pc, "WTOK_SMALL", max(4096, pc.ATIERS[-1]))
-    monkeypatch.setattr(pc, "WTOK_BIG", 2 * 2048 + pc.ATIERS[-1])
+    # Pair windows must stay >= the largest ATIERS row count (SUBA + slack).
+    monkeypatch.setattr(pc, "WTOK_SMALL", max(2048, pc.ATIERS[-1]))
+    monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ATIERS[-1] + 128)
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
     # Small pack blocks keep the per-step base padding (and interpret-mode

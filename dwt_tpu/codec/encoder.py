@@ -582,20 +582,37 @@ def _finish_tokens(tok0, lin, stats, pyr: Pyramid, channels: int,
 
 
 def _vli_orders(tok_val, tok_vli, padded_T: int):
-    """Exact VLI order state at every token via blocked associative scan."""
+    """Exact VLI order state at every token via blocked associative scan.
+
+    The scan-major layout transposes are shuffle-bound and dominate this
+    stage (~29 ms each at 4K regardless of dtype — benchmarks/probe_vli.py
+    / probe_trans.py), so the per-token transition is factored into two
+    5-bit parameters that ride ONE packed int32 array through a single
+    input transpose:  ns = clamp(s + k - 2) with k = max(0,
+    ilog2(v + 2^s) - s) collapses to ns = clamp(ilog2(v + 2^s) - 2), and
+    ilog2(v + 2^s) = max(s, A + (s >= B)) where A = ilog2(v) and
+    B = ceil_log2(2^(A+1) - v) — verified token-exact against
+    _vli_next_state on the 4K stream.  State carries are int8.
+    """
     nblk = padded_T // BLOCK
-    v_b = tok_val.reshape(nblk, BLOCK).T  # (BLOCK, nblk) scan-major
-    f_b = tok_vli.reshape(nblk, BLOCK).T
+    L = jnp.maximum(_ilog2_i32(jnp.maximum(tok_val, 1)), 0)
+    rem = (jnp.int32(2) << L) - tok_val
+    Bt = jnp.where(rem <= 1, 0, _ilog2_i32(jnp.maximum(rem - 1, 1)) + 1)
+    ab = jnp.where(tok_vli, L | (Bt << 5), -1)
+    ab_b = ab.reshape(nblk, BLOCK).T  # (BLOCK, nblk): the one transpose in
+
+    def trans(s, ab_row):
+        a = (ab_row & 31).astype(jnp.int8)[:, None]
+        b = ((ab_row >> 5) & 31).astype(jnp.int8)[:, None]
+        ns = jnp.clip(
+            jnp.maximum(s, a + (s >= b).astype(jnp.int8)) - jnp.int8(2),
+            jnp.int8(0), jnp.int8(NSTATE - 1))
+        return jnp.where((ab_row >= 0)[:, None], ns, s)
 
     # Pass A: per-block transition map for all NSTATE possible entry states.
-    init = jnp.broadcast_to(jnp.arange(NSTATE, dtype=jnp.int32)[None, :],
+    init = jnp.broadcast_to(jnp.arange(NSTATE, dtype=jnp.int8)[None, :],
                             (nblk, NSTATE))
-
-    def stepA(s, xs):
-        v, f = xs  # (nblk,)
-        return _vli_next_state(v[:, None], s, f[:, None]), None
-
-    maps, _ = jax.lax.scan(stepA, init, (v_b, f_b))  # (nblk, NSTATE)
+    maps, _ = jax.lax.scan(lambda s, x: (trans(s, x), None), init, ab_b)
 
     # Pass B: compose maps across blocks; minc[i] maps an order entering
     # block 0 to the order exiting block i.  Block i's true entry state is
@@ -603,16 +620,15 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     def compose(a, b):
         return jnp.take_along_axis(b, a, axis=-1)
 
-    minc = jax.lax.associative_scan(compose, maps, axis=0)
+    minc = jax.lax.associative_scan(compose, maps.astype(jnp.int32), axis=0)
     entry = jnp.concatenate([jnp.zeros((1,), jnp.int32), minc[:-1, 0]])
 
     # Pass C: replay with the true entry state, record order at each token.
-    def stepC(s, xs):
-        v, f = xs
-        return _vli_next_state(v, s, f), s
+    def stepC(s, ab_row):
+        return trans(s, ab_row), s
 
-    _, orders = jax.lax.scan(stepC, entry, (v_b, f_b))  # (BLOCK, nblk)
-    return orders.T.reshape(padded_T)
+    _, orders = jax.lax.scan(stepC, entry.astype(jnp.int8)[:, None], ab_b)
+    return orders[:, :, 0].T.reshape(padded_T).astype(jnp.int32)
 
 
 def _use_pallas() -> bool:

@@ -86,11 +86,19 @@ SUBAL = 128
 # as (zpfx << 1) | sign, expanded to two token slots outside the kernel).
 WTOK_SMALL = 4096
 WTOK_BIG = E + 256
-# Kernel A one-hot row tiers (target span = cnt + SUBAL misalignment).
-ATIERS = (192, 384, 768, SUBA + SUBAL)
-# Kernel B stream-word window and one-hot rows (<= 33 words + misalign).
+# Kernel A placement tiers.  Every row's targets are CONSECUTIVE ranks, so
+# sparse rows use the two-matmul split placement (_place_split: compact to
+# rank-relative positions with a (t, SUBA) one-hot, then shift-merge the
+# dense result with a (t + SUBAL + 8, t) one-hot — construct cost
+# t*(SUBA + t + 136) instead of (t + SUBAL)*SUBA); dense rows keep the
+# direct one-hot, which is cheaper once t^2 rivals SUBAL*SUBA.
+ASPLIT = (16, 64, 128, 256)   # split tiers: cover cnt <= t
+ADIRECT = (576, SUBA + SUBAL)  # direct tiers: cover cnt <= rows - SUBAL
+# Kernel B stream-word window; every row's refinement bits are consecutive,
+# touching <= SUBB/32 + 1 words, so B always uses the split placement.
 WREF = E // 32 + 256
-BROWS = SUBB // 32 + SUBAL + 32
+B1ROWS = SUBB // 32 + 8
+B2ROWS = B1ROWS + SUBAL + 8
 
 # Per-unit metadata columns (kernel A / kernel B share the layout).
 #   0: element start (flat, 512-aligned)   1: valid element count
@@ -153,6 +161,36 @@ def _onehot_place(scratch, base, rows, tgt, vals, bitcast):
     if bitcast:
         out = jax.lax.bitcast_convert_type(out, jnp.uint32)
     scratch[:, pl.ds(base, rows)] = scratch[:, pl.ds(base, rows)] + out
+
+
+def _place_split(scratch, base0, r1, r2, tgt, vals, bitcast, limit):
+    """Two-matmul placement for a row whose targets are the CONSECUTIVE
+    positions [base0, base0 + span) with span <= r1: compact values to
+    target-relative ranks with a (r1, n) one-hot, then shift-merge the
+    dense (8, r1) nibble planes into the window with a (r2, r1) one-hot.
+    The intermediate nibble sums are < 16, so the s8 second matmul is
+    exact.  r2 must cover r1 + SUBAL misalignment."""
+    n = tgt.shape[1]
+    rel = jnp.where(tgt >= 0, tgt - base0, -1)
+    oh1 = (jax.lax.broadcasted_iota(jnp.int32, (r1, n), 0)
+           == rel).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        _nibbles(vals), oh1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (8, r1)
+    base = jnp.minimum((base0 // SUBAL) * SUBAL, limit - r2)
+    delta = base0 - base
+    oh2 = (jax.lax.broadcasted_iota(jnp.int32, (r2, r1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (r2, r1), 1) + delta
+           ).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        acc.astype(jnp.int8), oh2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (8, r2)
+    rshift = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 4
+    out = jnp.sum(acc2 << rshift, axis=0, keepdims=True, dtype=jnp.int32)
+    if bitcast:
+        out = jax.lax.bitcast_convert_type(out, jnp.uint32)
+    base = pl.multiple_of(base, SUBAL)
+    scratch[:, pl.ds(base, r2)] = scratch[:, pl.ds(base, r2)] + out
 
 
 MAGMASK = (1 << 30) - 1  # bits 0..29 hold |coeff| (< 2^29); bit 30 = sign
@@ -246,17 +284,29 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
                         def _(tgt=tgt, vals=vals, n2=n2):
                             base0 = jnp.min(jnp.where(
                                 tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
-                            for i, rows in enumerate(ATIERS):
-                                lim = rows - SUBAL  # covers n2 = cnt targets
-                                lo = 0 if i == 0 else ATIERS[i - 1] - SUBAL
+                            tiers = ([(t, True) for t in ASPLIT]
+                                     + [(t, False) for t in ADIRECT])
+                            prev = 0
+                            for i, (rows, split) in enumerate(tiers):
+                                lim = rows if split else rows - SUBAL
+                                cond = ((n2 > prev) if i == len(tiers) - 1
+                                        else (n2 > prev) & (n2 <= lim))
 
-                                @pl.when((n2 > lo) if i == len(ATIERS) - 1
-                                         else (n2 > lo) & (n2 <= lim))
-                                def _(rows=rows):
-                                    base = jnp.minimum(
-                                        (base0 // SUBAL) * SUBAL, wtok - rows)
-                                    _onehot_place(
-                                        win, base, rows, tgt, vals, False)
+                                @pl.when(cond)
+                                def _(rows=rows, split=split):
+                                    if split:
+                                        _place_split(
+                                            win, base0, rows,
+                                            rows + SUBAL + 8, tgt, vals,
+                                            False, wtok)
+                                    else:
+                                        base = jnp.minimum(
+                                            (base0 // SUBAL) * SUBAL,
+                                            wtok - rows)
+                                        _onehot_place(win, base, rows, tgt,
+                                                      vals, False)
+
+                                prev = lim
 
                 return c
 
@@ -378,9 +428,8 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
                     def _(tgt=tgt, vals=vals):
                         base0 = jnp.min(jnp.where(
                             tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
-                        base = jnp.minimum(
-                            base0 // SUBAL * SUBAL, WREF - BROWS)
-                        _onehot_place(win, base, BROWS, tgt, vals, True)
+                        _place_split(win, base0, B1ROWS, B2ROWS, tgt, vals,
+                                     True, WREF)
 
             return c
 

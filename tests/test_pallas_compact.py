@@ -19,9 +19,9 @@ def small_kernels(monkeypatch):
     from dwt_tpu.ops import pallas_pack as pp
 
     monkeypatch.setattr(pc, "E", 2048)
-    # Pair windows must stay >= the largest ATIERS row count (SUBA + slack).
-    monkeypatch.setattr(pc, "WTOK_SMALL", max(2048, pc.ATIERS[-1]))
-    monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ATIERS[-1] + 128)
+    # Pair windows must stay >= the largest direct-tier row count.
+    monkeypatch.setattr(pc, "WTOK_SMALL", max(2048, pc.ADIRECT[-1]))
+    monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ADIRECT[-1] + 128)
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
     # Small pack blocks keep the per-step base padding (and interpret-mode

@@ -46,6 +46,20 @@ struct BitReader {
   bool fail = false;
 
   void refill() {
+    // Fast path: one unaligned 64-bit load tops the accumulator up to
+    // >= 57 bits (only whole bytes that fit are consumed).
+    if (navail <= 56 && pos + 8 <= nbytes) {
+      uint64_t w;
+      std::memcpy(&w, data + pos, 8);
+      int take = (64 - navail) >> 3;
+      // Only whole bytes that fit are consumed; mask the rest off so the
+      // bits >= navail of acc stay zero (the next refill ORs over them).
+      if (take < 8) w &= (1ull << (take << 3)) - 1;
+      acc |= w << navail;
+      pos += take;
+      navail += take << 3;
+      return;
+    }
     while (navail <= 56 && pos < nbytes) {
       acc |= static_cast<uint64_t>(data[pos++]) << navail;
       navail += 8;

@@ -50,3 +50,90 @@ def test_stage2_kernels_byte_identical(small_kernels, monkeypatch, kind):
 
     want = specmodel.encode(img, gray=False)
     assert got == want
+
+
+@pytest.mark.parametrize("carry", [0, 7])
+@pytest.mark.parametrize("big", [False, True])
+def test_kernel_a_tier_boundaries(monkeypatch, big, carry):
+    """Direct kernel-A drive with per-row significant counts at the exact
+    split/direct tier edges (16/64/128/256 split, 448/1024 direct) plus
+    max-magnitude zpfx values — shapes random images never produce."""
+    import jax.numpy as jnp
+
+    from dwt_tpu.ops import pallas_compact as pc
+
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    rng = np.random.default_rng(5)
+    R, N = pc.E // pc.SUBA, pc.SUBA
+    cnts = [0, 1, 16, 17, 64, 65, 128, 129, 256, 257, 448, 449, 1023, 1024]
+    if big:  # push total nsig past the small-window threshold
+        cnts += [1024] * 3 + [512, 300]
+    rows = np.zeros((R, N), np.int64)
+    for r, c in enumerate(cnts):
+        # c significant (mag 1) at random lanes; elsewhere zeros and a few
+        # refined (mag >= 2) that kernel A must ignore.
+        lanes = rng.permutation(N)
+        rows[r, lanes[:c]] = 1
+        k = min(17, N - c)
+        rows[r, lanes[c : c + k]] = 2 + rng.integers(0, 2**28, k)
+    sgn = rng.integers(0, 2, (R, N)).astype(np.int64)
+    packed = np.where(rows > 0, rows | (sgn << 30), rows).astype(np.int32)
+    elen = R * N - 137  # exercise the tail-invalid mask
+    flat = packed.reshape(-1).copy()
+    flat[elen:] = -1
+
+    # numpy oracle: pair (zpfx << 1) | sign at u0 + rank for each sig.
+    valid = flat >= 0
+    mag = flat & pc.MAGMASK
+    mS = valid & (mag == 1)
+    mZ = valid & (mag == 0)
+    zpfx = carry + np.cumsum(mZ) - mZ
+    u0 = 64
+    want = np.zeros(pc.WTOK_BIG + 512, np.int32)
+    ranks = np.cumsum(mS) - mS
+    sg = (flat >> 30) & 1
+    want[u0 + ranks[mS]] = (zpfx[mS] << 1) | sg[mS]
+
+    meta = jnp.asarray(
+        [[0, elen, 0, 0, u0, carry, int(mS.sum()), 0]], jnp.int32)
+    tok0 = jnp.zeros((1, pc.WTOK_BIG + 512), jnp.int32)
+    got = np.asarray(pc.compact_tokens_pallas(
+        jnp.asarray(flat.reshape(R, N)), meta, tok0, interpret=True))[0]
+    assert np.array_equal(got, want)
+
+
+def test_kernel_b_word_boundaries(monkeypatch):
+    """Direct kernel-B drive: refined runs crossing word boundaries at
+    every alignment phase, including a full 1024-bit row."""
+    import jax.numpy as jnp
+
+    from dwt_tpu.ops import pallas_compact as pc
+
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    rng = np.random.default_rng(6)
+    R, N = pc.E // pc.SUBB, pc.SUBB
+    cnts = [0, 1, 31, 32, 33, 63, 65, 1024, 999, 1]
+    rows = np.zeros((R, N), np.int64)
+    for r, c in enumerate(cnts):
+        lanes = rng.permutation(N)
+        rows[r, lanes[:c]] = 4 + 2 * rng.integers(0, 2**26, c)  # refined
+        rows[r, lanes[c : c + 9]] = 1  # significant: ignored by kernel B
+    packed = rows.astype(np.int32)
+    flat = packed.reshape(-1)
+
+    p = 1  # plane: refined are mag >> 1 > 1; emitted bit = (mag >> 1) & 1
+    mag = flat & pc.MAGMASK
+    mR = (flat >= 0) & ((mag >> p) > 1)
+    bit0 = 37  # deliberately word-misaligned
+    ranks = np.cumsum(mR) - mR
+    want = np.zeros(pc.WREF + 128, np.uint32)
+    pos = bit0 + ranks[mR]
+    np.add.at(want, pos >> 5,
+              (((mag[mR] >> p) & 1) << (pos & 31)).astype(np.uint32))
+
+    meta = jnp.asarray(
+        [[0, R * N, p, 0, bit0, 0, int(mR.sum()), 0]], jnp.int32)
+    words = jnp.zeros((1, pc.WREF + 128), jnp.uint32)
+    got = np.asarray(pc.scatter_refbits_pallas(
+        jnp.asarray(flat.reshape(R, N)), meta, words, interpret=True))[0]
+    assert np.array_equal(got, want)

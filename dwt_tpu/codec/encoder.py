@@ -599,7 +599,12 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     rem = (jnp.int32(2) << L) - tok_val
     Bt = jnp.where(rem <= 1, 0, _ilog2_i32(jnp.maximum(rem - 1, 1)) + 1)
     ab = jnp.where(tok_vli, L | (Bt << 5), -1)
-    ab_b = ab.reshape(nblk, BLOCK).T  # (BLOCK, nblk): the one transpose in
+    if _use_pallas():  # MXU transpose: ~4x the XLA shuffle path on TPU
+        from ..ops.pallas_transpose import transpose2d as _tr
+    else:
+        def _tr(m):
+            return m.T
+    ab_b = _tr(ab.reshape(nblk, BLOCK))  # (BLOCK, nblk): one transpose in
 
     def trans(s, ab_row):
         a = (ab_row & 31).astype(jnp.int8)[:, None]
@@ -628,7 +633,7 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
         return trans(s, ab_row), s
 
     _, orders = jax.lax.scan(stepC, entry.astype(jnp.int8)[:, None], ab_b)
-    return orders[:, :, 0].T.reshape(padded_T).astype(jnp.int32)
+    return _tr(orders[:, :, 0]).reshape(padded_T).astype(jnp.int32)
 
 
 def _use_pallas() -> bool:

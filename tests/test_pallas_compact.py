@@ -24,6 +24,9 @@ def small_kernels(monkeypatch):
     monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ADIRECT[-1] + 128)
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
+    from dwt_tpu.ops import pallas_transpose as pt
+
+    monkeypatch.setattr(pt, "INTERPRET", True)
     # Small pack blocks keep the per-step base padding (and interpret-mode
     # runtime) proportionate on tiny test images.
     monkeypatch.setattr(pp, "BLOCKN", 256)
@@ -137,3 +140,21 @@ def test_kernel_b_word_boundaries(monkeypatch):
     got = np.asarray(pc.scatter_refbits_pallas(
         jnp.asarray(flat.reshape(R, N)), meta, words, interpret=True))[0]
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((40, 256), "int32"), ((256, 40), "int32"), ((384, 512), "uint32"),
+    ((300, 300), "int32"), ((129, 257), "int8"),
+])
+def test_mxu_transpose(shape, dtype):
+    from dwt_tpu.ops.pallas_transpose import transpose2d
+
+    rng = np.random.default_rng(3)
+    if dtype == "int8":
+        x = rng.integers(-128, 128, shape).astype(np.int8)
+    elif dtype == "uint32":
+        x = rng.integers(0, 2**32, shape, dtype=np.uint64).astype(np.uint32)
+    else:
+        x = rng.integers(-2**31, 2**31, shape, dtype=np.int64).astype(np.int32)
+    got = np.asarray(transpose2d(x, interpret=True))
+    assert np.array_equal(got, x.T.astype(got.dtype))

@@ -209,13 +209,32 @@ class _Segs:
 # ---------------------------------------------------------------------------
 
 def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
-    total = pyr.total
     data = img.astype(jnp.int32)
     if not gray:
         data = rgb_to_ycocg(data)
     coeff = dwt2d_fwd(data, pyr)
-    lin = coeff.reshape(total, channels)[perm].T  # (C, padded), ch-major
-    return _stats_from_lin(lin, pyr, channels)
+    return _stats_from_lin(_linearize(coeff, perm, pyr, channels),
+                           pyr, channels)
+
+
+def _linearize(coeff, perm, pyr: Pyramid, channels: int):
+    """(H, W, C) coefficients -> (C, padded) scan-order layout.
+
+    On TPU the static permutation runs as the Pallas tile engine
+    (ops/pallas_hilbert.py: constant one-hot MXU matmuls per 32x32 tile —
+    XLA's gather costs ~8 ns/index regardless of locality); the root band
+    is a dense raster crop.  Elsewhere: one XLA gather over the padded
+    perm."""
+    if _use_pallas() and min(pyr.height, pyr.width) >= 32:
+        from ..hilbert import tile_plan
+        from ..ops.pallas_hilbert import hilbert_gather_pallas
+
+        plan = tile_plan(pyr, ALIGN)
+        lin = hilbert_gather_pallas(coeff, plan, perm.shape[0], channels)
+        h0, w0 = pyr.heights[0], pyr.widths[0]
+        root = coeff[:h0, :w0, :].reshape(h0 * w0, channels).T
+        return jax.lax.dynamic_update_slice(lin, root, (0, 0))
+    return coeff.reshape(pyr.total, channels)[perm].T
 
 
 def _stats_from_lin(lin, pyr: Pyramid, channels: int):

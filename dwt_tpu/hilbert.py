@@ -125,6 +125,86 @@ def padded_layout(pyr: Pyramid, align: int = 512) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
+def tile_plan(pyr: Pyramid, align: int = 512, ts: int = 32) -> dict:
+    """Static 32x32-tile decomposition of the Hilbert linearization for the
+    Pallas gather engine (ops/pallas_hilbert.py).
+
+    Every aligned run of ts*ts curve positions lies inside one aligned
+    ts x ts square (Hilbert property), so the linearization gather factors
+    into per-tile intra-square permutations.  Runs that are fully kept
+    ('clean') realize one of <= 8 dihedral images of the base ts-curve —
+    a handful of CONSTANT permutation patterns the kernel applies as s8
+    one-hot matmuls; runs thinned by the image crop or the previous-level
+    exclusion ('partial') carry an explicit per-rank source list and
+    read-modify-write their windows.  Replaces reference encode.c:46-57's
+    per-coefficient curve walk AND XLA's ~8 ns/index gather.
+
+    Returns numpy arrays (all int32):
+      patterns (n_pat, ts*ts): source lane (r*ts + c) per output rank.
+      clean    (n_clean, 4):   y0, x0, pattern id, lin element offset.
+      partial  (n_part, 3):    y0, x0, lin element offset.
+      partial_src (n_part, ts*ts): source lane per rank; 2^30 = no source.
+      Tiles are in lin order within each class.  Root band is raster
+      (a dense crop) and is not part of the plan.
+    """
+    W, H = pyr.width, pyr.height
+    tsq = ts * ts
+    _, _, sizes_p = padded_layout(pyr, align)
+    seg_start = np.cumsum([0] + list(sizes_p))  # root, then detail levels
+    patterns: list[np.ndarray] = []
+    pat_key: dict[bytes, int] = {}
+    clean, partial, partial_src = [], [], []
+    for l in range(pyr.levels):
+        n = pyr.lengths[l + 1]
+        x, y = hilbert_xy(n)
+        keep = ((x < pyr.widths[l + 1]) & (y < pyr.heights[l + 1])
+                & ((x >= pyr.widths[l]) | (y >= pyr.heights[l])))
+        if n < ts:
+            # Whole level fits one partial window at the origin.
+            k = keep.sum()
+            srcs = np.full(tsq, 1 << 30, np.int32)
+            srcs[:k] = (y[keep] * ts + x[keep]).astype(np.int32)
+            partial.append((0, 0, int(seg_start[l + 1])))
+            partial_src.append(srcs)
+            continue
+        kcum = np.concatenate([[0], np.cumsum(keep)])
+        for m in range(n * n // tsq):
+            k = int(kcum[(m + 1) * tsq] - kcum[m * tsq])
+            if k == 0:
+                continue
+            xs = x[m * tsq : (m + 1) * tsq]
+            ys = y[m * tsq : (m + 1) * tsq]
+            x0 = int(xs[0]) & ~(ts - 1)
+            y0 = int(ys[0]) & ~(ts - 1)
+            off = int(seg_start[l + 1] + kcum[m * tsq])
+            if k == tsq:
+                srcs = ((ys - y0) * ts + (xs - x0)).astype(np.int32)
+                key = srcs[:8].tobytes()
+                pid = pat_key.get(key)
+                if pid is None or not np.array_equal(patterns[pid], srcs):
+                    pid = len(patterns)
+                    pat_key[key] = pid
+                    patterns.append(srcs)
+                clean.append((y0, x0, pid, off))
+            else:
+                # Clamp the DMA window inside the image for edge tiles.
+                yd = min(y0, H - ts)
+                xd = min(x0, W - ts)
+                km = keep[m * tsq : (m + 1) * tsq]
+                srcs = np.full(tsq, 1 << 30, np.int32)
+                srcs[:k] = ((ys[km] - yd) * ts + (xs[km] - xd)).astype(
+                    np.int32)
+                partial.append((yd, xd, off))
+                partial_src.append(srcs)
+    return dict(
+        patterns=np.asarray(patterns, np.int32).reshape(-1, tsq),
+        clean=np.asarray(clean, np.int32).reshape(-1, 4),
+        partial=np.asarray(partial, np.int32).reshape(-1, 3),
+        partial_src=np.asarray(partial_src, np.int32).reshape(-1, tsq),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def level_of_position(pyr: Pyramid) -> np.ndarray:
     """For each linearized position, which pyramid chunk it belongs to.
 

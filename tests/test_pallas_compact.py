@@ -24,9 +24,11 @@ def small_kernels(monkeypatch):
     monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ADIRECT[-1] + 128)
     monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
     monkeypatch.setattr(pc, "INTERPRET", True)
+    from dwt_tpu.ops import pallas_hilbert as ph
     from dwt_tpu.ops import pallas_transpose as pt
 
     monkeypatch.setattr(pt, "INTERPRET", True)
+    monkeypatch.setattr(ph, "INTERPRET", True)
     # Small pack blocks keep the per-step base padding (and interpret-mode
     # runtime) proportionate on tiny test images.
     monkeypatch.setattr(pp, "BLOCKN", 256)
@@ -158,3 +160,29 @@ def test_mxu_transpose(shape, dtype):
         x = rng.integers(-2**31, 2**31, shape, dtype=np.int64).astype(np.int32)
     got = np.asarray(transpose2d(x, interpret=True))
     assert np.array_equal(got, x.T.astype(got.dtype))
+
+
+@pytest.mark.parametrize("wh", [(64, 48), (320, 240), (127, 255)])
+def test_hilbert_gather_engine(wh):
+    """The Pallas tile-gather engine reproduces the XLA padded-perm gather
+    exactly on every valid detail position (root band is the caller's
+    raster crop; pads are masked downstream)."""
+    import jax.numpy as jnp
+
+    from dwt_tpu.codec.encoder import ALIGN
+    from dwt_tpu.geometry import compute_pyramid
+    from dwt_tpu.hilbert import padded_layout, tile_plan
+    from dwt_tpu.ops.pallas_hilbert import hilbert_gather_pallas
+
+    W, H = wh
+    rng = np.random.default_rng(1)
+    pyr = compute_pyramid(W, H)
+    plan = tile_plan(pyr, ALIGN)
+    perm, valid, sizes = padded_layout(pyr, ALIGN)
+    co = rng.integers(-2**20, 2**20, (H, W, 3)).astype(np.int32)
+    got = np.asarray(hilbert_gather_pallas(
+        jnp.asarray(co), plan, perm.shape[0], 3, interpret=True))
+    want = co.reshape(-1, 3)[perm].T
+    m = valid.copy()
+    m[:sizes[0]] = False
+    assert np.array_equal(got[:, m], want[:, m])

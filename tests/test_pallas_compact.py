@@ -186,3 +186,20 @@ def test_hilbert_gather_engine(wh):
     m = valid.copy()
     m[:sizes[0]] = False
     assert np.array_equal(got[:, m], want[:, m])
+
+
+def test_batch_encoder_pallas_parity(small_kernels, monkeypatch):
+    """BatchEncoder vmaps the full pipeline — including the Hilbert gather
+    engine and both compaction kernels — over a batch; streams must equal
+    the single-image encoder's."""
+    from dwt_tpu.codec import encoder, tiled
+
+    monkeypatch.setattr(encoder, "_use_pallas", lambda: True)
+    monkeypatch.setattr(encoder, "_use_pallas_pack", lambda t: True)
+    rng = np.random.default_rng(12)
+    imgs = np.stack([random_image(rng, 64, 48, 3, "mixed") for _ in range(3)])
+    be = tiled.BatchEncoder(64, 48, 3)
+    got = be.encode_batch(imgs)
+    enc = encoder.Encoder(64, 48, 3)
+    for i in range(3):
+        assert got[i] == enc.encode(imgs[i])

@@ -64,6 +64,15 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
     # lower levels, so scan order and lifting geometry are shared.
     sub_pyr = compute_pyramid(outW, outH)
     assert sub_pyr.levels == out_levels
+    from ..codec.encoder import _use_pallas
+    from ..hilbert import tile_plan
+    from ..ops.pallas_hilbert import hilbert_scatter_pallas
+
+    # Inverse Hilbert scatter: the Pallas tile engine on TPU (constant
+    # one-hot MXU matmuls over the decoder's unpadded scan layout), one
+    # XLA gather elsewhere.
+    use_engine = _use_pallas() and min(outH, outW) >= 32
+    plan = tile_plan(sub_pyr, 1) if use_engine else None
     inv_perm = jnp.asarray(reconstruction_perm(sub_pyr))
     lvl_of = jnp.asarray(level_of_position(pyr)[:n_out])
 
@@ -81,7 +90,13 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
         bias = jnp.where((m >= 0) & (lvl_of[None, :] >= 0),
                          jnp.left_shift(1, jnp.clip(m, 0, 30)), 0).astype(jnp.int32)
         lin = lin + jnp.sign(lin) * bias
-        x = lin[:, inv_perm].T.reshape(outH, outW, C)
+        if use_engine:
+            x = hilbert_scatter_pallas(lin, plan, outH, outW, C)
+            h0, w0 = sub_pyr.heights[0], sub_pyr.widths[0]
+            root = lin[:, : sub_pyr.pixels[0]].T.reshape(h0, w0, C)
+            x = jax.lax.dynamic_update_slice(x, root, (0, 0, 0))
+        else:
+            x = lin[:, inv_perm].T.reshape(outH, outW, C)
         x = dwt2d_inv(x, sub_pyr)
         if not gray:
             x = ycocg_to_rgb(x)

@@ -260,3 +260,204 @@ def hilbert_gather_pallas(co, plan, nlin, channels: int,
         out = call(jnp.asarray(meta), jnp.asarray(psrc.reshape(-1, TSQ)),
                    co2, jnp.asarray(pats.reshape(-1, TSQ)), lin0)
     return out[:, :nlin]
+
+
+def _int(v32, C):
+    """(R, C*TS) channel blocks -> (R, TS*C) channel-interleaved, exact."""
+    n = TS * C
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = (i == (j // C) + (j % C) * TS).astype(jnp.int8)
+    return _perm_bytes(v32, d)
+
+
+def _perm_bytes_t(v32, oh):
+    """Apply the TRANSPOSE of one-hot (N, M) to (R, M) -> (R, N): contracts
+    oh's second axis, so the inverse permutation needs no materialized
+    transpose (a (1, N) -> (N, 1) relayout is a Mosaic hazard)."""
+    return _recomb([
+        jax.lax.dot_general(b, oh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        for b in _bytes8(v32)])
+
+
+def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
+                    vbuf, obuf, sbuf, sem_t, sem_p, sem_s, sem_o, *, C,
+                    nbat, npart, H, W):
+    del co_in  # aliased with co_out
+    b = pl.program_id(0)
+    MB = 2 + 3 * G
+
+    @pl.when(b < nbat)
+    def _():
+        pid = meta_ref[MB * b + 0]
+        cp_p = pltpu.make_async_copy(pats.at[pl.ds(pid, 1), :], sbuf, sem_p)
+        cp_p.start()
+        cps = []
+        for g in range(G):
+            off = meta_ref[MB * b + 2 + 3 * g + 2]
+            for c in range(C):
+                cp = pltpu.make_async_copy(
+                    lin.at[pl.ds(c, 1), pl.ds(off, TSQ)],
+                    obuf.at[pl.ds(G * c + g, 1), :], sem_t)
+                cp.start()
+                cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        cp_p.wait()
+        # Forward one-hot oh[lane, rank]; the inverse applies via a
+        # rank-axis contraction (_perm_bytes_t) — no transpose relayout.
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (TSQ, TSQ), 0)
+              == sbuf[0:1, :]).astype(jnp.int8)
+        blocks = []
+        for c in range(C):
+            img_flat = _perm_bytes_t(obuf[pl.ds(G * c, G), :], oh)
+            blocks.append(img_flat.reshape(G * TS, TS))
+        sq = _int(jnp.concatenate(blocks, axis=1), C)  # (G*TS, TS*C)
+        vbuf[:, :] = sq
+        cps = []
+        for g in range(G):
+            y0 = meta_ref[MB * b + 2 + 3 * g + 0]
+            x0 = meta_ref[MB * b + 2 + 3 * g + 1]
+            cp = pltpu.make_async_copy(
+                vbuf.at[pl.ds(TS * g, TS), :],
+                co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)], sem_o)
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    @pl.when((b >= nbat) & (b < nbat + npart))
+    def _():
+        t = b - nbat
+        y0 = meta_ref[MB * b + 2 + 0]
+        x0 = meta_ref[MB * b + 2 + 1]
+        off = meta_ref[MB * b + 2 + 2]
+        cp_s = pltpu.make_async_copy(psrc_ref.at[pl.ds(t, 1), :],
+                                     sbuf.at[pl.ds(0, 1), :], sem_s)
+        cp_r = pltpu.make_async_copy(
+            co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)],
+            vbuf.at[pl.ds(0, TS), :], sem_o)
+        cps = []
+        for c in range(C):
+            cp = pltpu.make_async_copy(
+                lin.at[pl.ds(c, 1), pl.ds(off, TSQ)],
+                obuf.at[pl.ds(G * c, 1), :], sem_t)
+            cp.start()
+            cps.append(cp)
+        cp_s.start()
+        cp_r.start()
+        for cp in cps:
+            cp.wait()
+        cp_s.wait()
+        cp_r.wait()
+        srcs = sbuf[0:1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (TSQ, TSQ), 0)
+              == srcs).astype(jnp.int8)
+        # own[lane] = this tile has a rank mapping to lane — an MXU
+        # ones-vector reduction over the rank axis (no relayouts).
+        own = jax.lax.dot_general(
+            jnp.ones((1, TSQ), jnp.int8), oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (1, TSQ)
+        blocks, owns = [], []
+        for c in range(C):
+            img_flat = _perm_bytes_t(obuf[pl.ds(G * c, 1), :], oh)
+            blocks.append(img_flat.reshape(TS, TS))
+            owns.append(own.reshape(TS, TS))
+        sq = _int(jnp.concatenate(blocks, axis=1), C)
+        ow = _int(jnp.concatenate(owns, axis=1), C)
+        old = vbuf[0:TS, :]
+        vbuf[pl.ds(0, TS), :] = jnp.where(ow > 0, sq, old)
+        cp_w = pltpu.make_async_copy(
+            vbuf.at[pl.ds(0, TS), :],
+            co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)], sem_o)
+        cp_w.start()
+        cp_w.wait()
+
+
+def hilbert_scatter_pallas(lin, plan, H, W, channels: int,
+                           interpret: bool | None = None):
+    """Inverse of hilbert_gather_pallas: (C, nlin) scan-order detail
+    coefficients -> (H, W, C) int32 image plane (root band left zero; the
+    caller writes its raster crop).  ``plan`` must come from
+    hilbert.tile_plan with the same align used to lay out ``lin``
+    (align=1 for the decoder's unpadded native-parse layout)."""
+    if interpret is None:
+        interpret = INTERPRET
+    C = channels
+    clean = plan["clean"]
+    part = plan["partial"]
+    psrc = plan["partial_src"]
+    pats = plan["patterns"]
+    order = np.argsort(clean[:, 2], kind="stable") if len(clean) else []
+    rows = []
+    MB = 2 + 3 * G
+    nlin = lin.shape[1]
+    cs = clean[order] if len(clean) else np.zeros((0, 4), np.int32)
+    i = 0
+    while i < len(cs):
+        pid = cs[i, 2]
+        grp = cs[i : i + G]
+        grp = grp[grp[:, 2] == pid]
+        row = [int(pid), 0]
+        for g in range(G):
+            if g < len(grp):
+                row += [int(grp[g, 0]), int(grp[g, 1]), int(grp[g, 3])]
+            else:  # dummy: re-read/re-write the first tile of the group
+                row += [int(grp[0, 0]), int(grp[0, 1]), int(grp[0, 3])]
+        rows.append(row)
+        i += len(grp)
+    nbat = len(rows)
+    for t in range(len(part)):
+        row = [0, 0] + [int(part[t, 0]), int(part[t, 1]), int(part[t, 2])]
+        row += [0] * (MB - len(row))
+        rows.append(row)
+    npart = len(part)
+    if not rows:
+        return jnp.zeros((H, W, C), jnp.int32)
+    meta = np.asarray(rows, np.int32).reshape(-1)
+    if len(psrc) == 0:
+        psrc = np.full((1, TSQ), 1 << 30, np.int32)
+    if len(pats) == 0:
+        pats = np.zeros((1, TSQ), np.int32)
+    # lin needs TSQ slack past its end (partial offsets near the tail read
+    # a full window).
+    linp = jnp.pad(lin.astype(jnp.int32), ((0, 0), (0, TSQ)))
+
+    import functools
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbat + npart,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((G * TS, TS * C), jnp.int32),
+            pltpu.VMEM((G * C, TSQ), jnp.int32),
+            pltpu.VMEM((1, TSQ), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_scatter_kernel, C=C, nbat=nbat, npart=npart,
+                             H=H, W=W)
+    co0 = jnp.zeros((H, W * C), jnp.int32)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W * C), jnp.int32),
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    with jax.enable_x64(False):
+        out = call(jnp.asarray(meta), jnp.asarray(psrc.reshape(-1, TSQ)),
+                   linp, jnp.asarray(pats.reshape(-1, TSQ)), co0)
+    return out.reshape(H, W, C)

@@ -203,3 +203,27 @@ def test_batch_encoder_pallas_parity(small_kernels, monkeypatch):
     enc = encoder.Encoder(64, 48, 3)
     for i in range(3):
         assert got[i] == enc.encode(imgs[i])
+
+
+def test_decoder_scatter_engine_roundtrip(small_kernels, monkeypatch):
+    """Decode tail with the Pallas inverse-scatter engine: lossless
+    roundtrip and equality with the XLA-gather tail, including a
+    reduced-resolution decode."""
+    from dwt_tpu.codec import decoder, encoder
+
+    monkeypatch.setattr(encoder, "_use_pallas", lambda: True)
+    monkeypatch.setattr(encoder, "_use_pallas_pack", lambda t: True)
+    rng = np.random.default_rng(13)
+    img = random_image(rng, 64, 48, 3, "mixed")
+    stream = encoder.Encoder(64, 48, 3).encode(img)
+    decoder._tail_fn.cache_clear()
+    try:
+        out, _ = decoder.decode(stream)
+        assert np.array_equal(out, img)
+        red, _ = decoder.decode(stream, pixels_max=20 * 16)
+        decoder._tail_fn.cache_clear()
+        monkeypatch.setattr(encoder, "_use_pallas", lambda: False)
+        red_x, _ = decoder.decode(stream, pixels_max=20 * 16)
+        assert np.array_equal(red, red_x)
+    finally:
+        decoder._tail_fn.cache_clear()

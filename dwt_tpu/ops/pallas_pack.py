@@ -81,50 +81,83 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
 
     def sub_chunk(base):
         lw = widx_ref[:, pl.ds(base, SUB)] - ws_al  # (1, SUB) local offsets
-        # aligned sub-window start, clamped so the write can never leave the
-        # scratch window even for a misclassified block (out-of-window
-        # tokens then simply match no one-hot row and contribute nothing)
-        sub_o = pl.multiple_of(
-            jnp.minimum(jnp.maximum(lw[0, 0], 0) & ~127, WIN - SUBWIN), 128)
-        rel = lw - sub_o         # in [0, 637 + 127)
-        # columns: [c0 tokens | c1 tokens | c2 tokens] -> word rel + k
-        rel3 = jnp.concatenate([rel, rel + 1, rel + 2], axis=1)  # (1, 3*SUB)
+        base0 = jnp.maximum(lw[0, 0], 0)
+        rel = lw - base0  # [0, span]; span <= SUBWIN - 131 for tame blocks
+        # Two-stage split placement with ONE one-hot for all three word
+        # contributions: oh over the c0 targets only (SUB lanes instead of
+        # 3*SUB); the 24 stacked nibble-plane rows (c0|c1|c2) contract in
+        # one matmul, and c1/c2's +1/+2 word offsets become lane shifts of
+        # their recombined dense rows.  The dense (1, T) span-relative
+        # words then shift-merge into the 128-aligned scratch window via a
+        # small (T+136, T) one-hot over their byte planes — so the 128-lane
+        # misalignment costs O(T^2) instead of O(128 * 3*SUB) per tier.
         vals = jnp.concatenate(
             [c_ref[:, pl.ds(base, SUB)],
              c_ref[:, pl.ds(BLOCKN + base, SUB)],
-             c_ref[:, pl.ds(2 * BLOCKN + base, SUB)]], axis=1)  # (1, 3*SUB)
-        # nibble planes (8, 3*SUB): 4-bit pieces stay positive in int8;
-        # route u32 -> s8 via s32 (Mosaic's u32->s8 rule recurses).
-        shifts = jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0) * 4
-        v8 = ((vals >> shifts) & jnp.uint32(0xF)).astype(jnp.int32).astype(jnp.int8)
+             c_ref[:, pl.ds(2 * BLOCKN + base, SUB)]], axis=0)  # (3, SUB)
+        # nibble planes (24, SUB): rows [8c + k] = nibble k of contribution
+        # c; 4-bit pieces stay positive in s8 (u32 -> s8 routes via s32).
+        stacked = jnp.concatenate(
+            [jnp.broadcast_to(vals[c : c + 1], (8, SUB)) for c in range(3)],
+            axis=0)  # (24, SUB)
+        shifts = jnp.concatenate(
+            [jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0)] * 3,
+            axis=0) * 4
+        v8 = ((stacked >> shifts) & jnp.uint32(0xF)).astype(
+            jnp.int32).astype(jnp.int8)
 
-        def place(nrows):
-            # one-hot (nrows, 3*SUB): oh[w, t] = (w == rel3[t]); contract
-            # the token axis of both operands -> (8, nrows) exact sums
-            rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, 3 * SUB), 0)
-            oh = (rows == rel3).astype(jnp.int8)
+        def place(T):
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (T, SUB), 0)
+                  == rel).astype(jnp.int8)
             acc = jax.lax.dot_general(
                 v8, oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            # recombine nibble-plane sums with shifted ADDs (carries
-            # matter); s32 overflow into the sign bit IS mod-2^32.
+                preferred_element_type=jnp.int32)  # (24, T)
             rshift = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 4
-            wordvals = jax.lax.bitcast_convert_type(
-                jnp.sum(acc << rshift, axis=0, keepdims=True, dtype=jnp.int32),
-                jnp.uint32)  # (1, nrows)
-            scratch[:, pl.ds(sub_o, nrows)] = (
-                scratch[:, pl.ds(sub_o, nrows)] + wordvals)
+            z = jnp.zeros((1, 1), jnp.int32)
+            w0 = jnp.sum(acc[0:8] << rshift, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            w1 = jnp.sum(acc[8:16] << rshift, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            w2 = jnp.sum(acc[16:24] << rshift, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            dense = (w0 + jnp.concatenate([z, w1[:, :-1]], axis=1)
+                     + jnp.concatenate([z, z, w2[:, :-2]], axis=1))
+            b8 = jnp.concatenate(
+                [((dense >> (8 * k)) & 0xFF).astype(jnp.int8)
+                 for k in range(4)], axis=0)  # (4, T)
+            T2 = T + 136
+            sub_o = pl.multiple_of(
+                jnp.minimum((base0 // 128) * 128, WIN - T2), 128)
+            delta = base0 - sub_o
+            oh2 = (jax.lax.broadcasted_iota(jnp.int32, (T2, T), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (T2, T), 1)
+                   + delta).astype(jnp.int8)
+            acc2 = jax.lax.dot_general(
+                b8, oh2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (4, T2)
+            out = jnp.zeros((1, T2), jnp.int32)
+            for k in range(4):
+                out = out | ((acc2[k : k + 1] & 0xFF) << (8 * k))
+            scratch[:, pl.ds(sub_o, T2)] = (
+                scratch[:, pl.ds(sub_o, T2)]
+                + jax.lax.bitcast_convert_type(out, jnp.uint32))
 
-        # Tier by actual span: streams average a few bits/token, so most
-        # sub-chunks fit the small window at ~3x less one-hot + MXU work.
-        relmax = rel[0, SUB - 1] + 2  # widx is nondecreasing
-        @pl.when(relmax < SUBSMALL)
-        def _():
-            place(SUBSMALL)
+        # Tier by span (+3 for the c1/c2 lane shifts); the big tier matches
+        # the wild-block criterion exactly (span <= SUBWIN - 131).
+        span = rel[0, SUB - 1]
+        tiers = tuple(t for t in (72, 264) if t < SUBWIN - 128) \
+            + (SUBWIN - 128,)
+        prev = -1
+        for i, T in enumerate(tiers):
+            lim = T - 3
+            cond = ((span > prev) if i == len(tiers) - 1
+                    else (span > prev) & (span <= lim))
 
-        @pl.when(relmax >= SUBSMALL)
-        def _():
-            place(SUBWIN)
+            @pl.when(cond)
+            def _(T=T):
+                place(T)
+
+            prev = lim
 
     for s in range(BLOCKN // SUB):  # unrolled: traced indices would be i64
         sub_chunk(s * SUB)

@@ -29,44 +29,67 @@ def cdf53_fwd(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Forward reversible CDF 5/3 along `axis`; output deinterleaved [L | H].
 
     Works for any N >= 2 (even or odd), any leading/trailing batch dims.
+    All steps slice/concat along `axis` directly — no moveaxis: a
+    materialized transpose per direction per level is far costlier on TPU
+    than the strided lane/sublane slices.
     """
-    x = jnp.moveaxis(x, axis, 0)
-    N = x.shape[0]
-    ev, od = x[0::2], x[1::2]
-    ne, no = ev.shape[0], od.shape[0]
+    N = x.shape[axis]
+
+    def sl(a, i, j, stride=1):
+        return jax.lax.slice_in_dim(a, i, j, stride, axis)
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=axis)
+
+    ev, od = sl(x, 0, N, 2), sl(x, 1, N, 2)
+    ne, no = ev.shape[axis], od.shape[axis]
     # Predict: d[i] = od[i] - (ev[i] + ev[i+1]) / 2, right neighbor clamped
     # to ev[-1] when N is even (cdf53.h:15-17 reduces to exactly this).
-    right = ev[1:] if ne > no else jnp.concatenate([ev[1:], ev[-1:]], axis=0)
-    d = od - _tdiv(ev[:no] + right, 2)
+    right = sl(ev, 1, ne) if ne > no else cat(sl(ev, 1, ne),
+                                              sl(ev, ne - 1, ne))
+    d = od - _tdiv(sl(ev, 0, no) + right, 2)
     # Update: s[i] = ev[i] + (d[i-1] + d[i]) / 4, left clamped to d[0]
     # (cdf53.h:19-20: s0 += d0/2 == (d0+d0)/4 in truncating arithmetic).
     # Last even sample of odd-N signals gets no update (loop bound M).
-    left = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    left = cat(sl(d, 0, 1), sl(d, 0, no - 1))
     upd = _tdiv(left + d, 4)
     nupd = ne if N % 2 == 0 else ne - 1
-    s = jnp.concatenate([ev[:nupd] + upd[:nupd], ev[nupd:]], axis=0)
-    out = jnp.concatenate([s, d], axis=0)
-    return jnp.moveaxis(out, 0, axis)
+    s = cat(sl(ev, 0, nupd) + sl(upd, 0, nupd), sl(ev, nupd, ne))
+    return cat(s, d)
 
 
 def cdf53_inv(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Inverse lifting: undo update, undo predict, re-interleave (cdf53.h:36-61)."""
-    x = jnp.moveaxis(x, axis, 0)
-    N = x.shape[0]
+    N = x.shape[axis]
+
+    def sl(a, i, j, stride=1):
+        return jax.lax.slice_in_dim(a, i, j, stride, axis)
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=axis)
+
     ne = (N + 1) // 2
-    s, d = x[:ne], x[ne:]
-    no = d.shape[0]
-    left = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    s, d = sl(x, 0, ne), sl(x, ne, N)
+    no = d.shape[axis]
+    left = cat(sl(d, 0, 1), sl(d, 0, no - 1))
     upd = _tdiv(left + d, 4)
     nupd = ne if N % 2 == 0 else ne - 1
-    ev = jnp.concatenate([s[:nupd] - upd[:nupd], s[nupd:]], axis=0)
-    right = ev[1:] if ne > no else jnp.concatenate([ev[1:], ev[-1:]], axis=0)
-    od = d + _tdiv(ev[:no] + right, 2)
-    # Re-interleave evens/odds.
-    out = jnp.zeros_like(x)
-    out = out.at[0::2].set(ev)
-    out = out.at[1::2].set(od)
-    return jnp.moveaxis(out, 0, axis)
+    ev = cat(sl(s, 0, nupd) - sl(upd, 0, nupd), sl(s, nupd, ne))
+    right = sl(ev, 1, ne) if ne > no else cat(sl(ev, 1, ne),
+                                              sl(ev, ne - 1, ne))
+    od = d + _tdiv(sl(ev, 0, no) + right, 2)
+    # Re-interleave evens/odds: stack on a fresh minor axis next to `axis`
+    # and merge — a reshape, not a scatter.
+    if ne > no:  # odd N: pad the odd stream by one (dropped after merge)
+        odp = cat(od, sl(od, no - 1, no))
+    else:
+        odp = od
+    ax = axis % x.ndim
+    inter = jnp.stack([ev, odp], axis=ax + 1)
+    shape = list(x.shape)
+    shape[ax] = 2 * ne
+    inter = inter.reshape(shape)
+    return sl(inter, 0, N)
 
 
 def dwt2d_fwd(img: jnp.ndarray, pyr: Pyramid) -> jnp.ndarray:

@@ -227,3 +227,39 @@ def test_decoder_scatter_engine_roundtrip(small_kernels, monkeypatch):
         assert np.array_equal(red, red_x)
     finally:
         decoder._tail_fn.cache_clear()
+
+
+def test_hilbert_engines_gray():
+    """Both tile engines with C=1 (gray): the channel selector degenerates
+    to identity; gather and scatter stay exact."""
+    import jax.numpy as jnp
+
+    from dwt_tpu.codec.encoder import ALIGN
+    from dwt_tpu.geometry import compute_pyramid
+    from dwt_tpu.hilbert import (linearization_perm, padded_layout,
+                                 tile_plan)
+    from dwt_tpu.ops.pallas_hilbert import (hilbert_gather_pallas,
+                                            hilbert_scatter_pallas)
+
+    rng = np.random.default_rng(4)
+    W, H = 320, 240
+    pyr = compute_pyramid(W, H)
+    co = rng.integers(-2**20, 2**20, (H, W, 1)).astype(np.int32)
+
+    plan = tile_plan(pyr, ALIGN)
+    perm, valid, sizes = padded_layout(pyr, ALIGN)
+    got = np.asarray(hilbert_gather_pallas(
+        jnp.asarray(co), plan, perm.shape[0], 1, interpret=True))
+    want = co.reshape(-1, 1)[perm].T
+    m = valid.copy()
+    m[:sizes[0]] = False
+    assert np.array_equal(got[:, m], want[:, m])
+
+    plan1 = tile_plan(pyr, 1)
+    lperm = linearization_perm(pyr)
+    lin = co.reshape(-1, 1)[lperm].T
+    back = np.asarray(hilbert_scatter_pallas(
+        jnp.asarray(lin), plan1, H, W, 1, interpret=True))
+    mask = np.zeros(H * W, bool)
+    mask[lperm[pyr.pixels[0]:]] = True
+    assert np.array_equal(back.reshape(-1, 1)[mask], co.reshape(-1, 1)[mask])

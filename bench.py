@@ -172,5 +172,37 @@ def main():
     }))
 
 
+def _cascade():
+    """Run the measurement in a subprocess; on failure retry with
+    progressively safer kernel gates so a single Mosaic lowering break on
+    a new TPU runtime can never zero out the round's number.  Each rung's
+    byte-identity gate still guards correctness."""
+    import os
+    import subprocess
+
+    rungs = [
+        {},                        # full: all Pallas kernels + engines
+        {"DWT_NO_ENGINE": "1"},    # no Hilbert engines / MXU transpose
+        {"DWT_NO_PALLAS": "1"},    # XLA fallbacks everywhere
+    ]
+    for extra in rungs:
+        env = dict(os.environ, DWT_BENCH_INNER="1", **extra)
+        try:
+            r = subprocess.run([sys.executable, __file__], env=env,
+                               timeout=5400)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc == 0:
+            return 0
+        log(f"bench rung {extra or 'full'} failed (rc={rc}); trying next")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("DWT_BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(_cascade())

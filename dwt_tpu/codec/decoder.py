@@ -64,14 +64,14 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
     # lower levels, so scan order and lifting geometry are shared.
     sub_pyr = compute_pyramid(outW, outH)
     assert sub_pyr.levels == out_levels
-    from ..codec.encoder import _use_pallas
+    from ..codec.encoder import _use_engine
     from ..hilbert import tile_plan
     from ..ops.pallas_hilbert import hilbert_scatter_pallas
 
     # Inverse Hilbert scatter: the Pallas tile engine on TPU (constant
     # one-hot MXU matmuls over the decoder's unpadded scan layout), one
     # XLA gather elsewhere.
-    use_engine = _use_pallas() and min(outH, outW) >= 32
+    use_engine = _use_engine() and min(outH, outW) >= 32
     plan = tile_plan(sub_pyr, 1) if use_engine else None
     inv_perm = jnp.asarray(reconstruction_perm(sub_pyr))
     lvl_of = jnp.asarray(level_of_position(pyr)[:n_out])

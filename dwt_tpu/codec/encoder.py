@@ -225,7 +225,7 @@ def _linearize(coeff, perm, pyr: Pyramid, channels: int):
     XLA's gather costs ~8 ns/index regardless of locality); the root band
     is a dense raster crop.  Elsewhere: one XLA gather over the padded
     perm."""
-    if _use_pallas() and min(pyr.height, pyr.width) >= 32:
+    if _use_engine() and min(pyr.height, pyr.width) >= 32:
         from ..hilbert import tile_plan
         from ..ops.pallas_hilbert import hilbert_gather_pallas
 
@@ -618,7 +618,7 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     rem = (jnp.int32(2) << L) - tok_val
     Bt = jnp.where(rem <= 1, 0, _ilog2_i32(jnp.maximum(rem - 1, 1)) + 1)
     ab = jnp.where(tok_vli, L | (Bt << 5), -1)
-    if _use_pallas():  # MXU transpose: ~4x the XLA shuffle path on TPU
+    if _use_engine():  # MXU transpose: ~4x the XLA shuffle path on TPU
         from ..ops.pallas_transpose import transpose2d as _tr
     else:
         def _tr(m):
@@ -669,6 +669,16 @@ def _use_pallas_pack(padded_T: int) -> bool:
     from ..ops import pallas_pack
 
     return _use_pallas() and padded_T % pallas_pack.BLOCKN == 0
+
+
+def _use_engine() -> bool:
+    """Gate for the Hilbert tile engines + MXU transpose (the newest
+    Mosaic-dependent pieces).  DWT_NO_ENGINE=1 falls back to XLA
+    gathers/transposes while keeping the compaction/pack kernels on —
+    bench.py uses it as the first rung of its safe-mode cascade."""
+    import os
+
+    return _use_pallas() and os.environ.get("DWT_NO_ENGINE") != "1"
 
 
 def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):

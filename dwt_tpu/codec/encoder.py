@@ -675,10 +675,16 @@ def _use_engine() -> bool:
     """Gate for the Hilbert tile engines + MXU transpose (the newest
     Mosaic-dependent pieces).  DWT_NO_ENGINE=1 falls back to XLA
     gathers/transposes while keeping the compaction/pack kernels on —
-    bench.py uses it as the first rung of its safe-mode cascade."""
+    bench.py uses it as the first rung of its safe-mode cascade; a
+    one-time micro-probe additionally self-disables on Mosaic builds that
+    reject the engines' op classes."""
     import os
 
-    return _use_pallas() and os.environ.get("DWT_NO_ENGINE") != "1"
+    if not _use_pallas() or os.environ.get("DWT_NO_ENGINE") == "1":
+        return False
+    from ..ops.pallas_hilbert import engine_supported
+
+    return engine_supported()
 
 
 def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):

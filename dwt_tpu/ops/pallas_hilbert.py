@@ -41,6 +41,40 @@ TS = 32          # tile side
 TSQ = TS * TS    # elements per tile
 G = 8            # clean tiles per batch (one MXU permute per byte plane)
 
+_SUPPORTED: bool | None = None
+
+
+def engine_supported() -> bool:
+    """One-time micro-probe of the op classes these engines lean on that
+    the rest of the codebase does not (in-kernel sublane->lane reshape +
+    byte-plane s8 matmul).  If the current Mosaic build rejects them, the
+    callers silently fall back to XLA gathers — a runtime regression, not
+    a crash."""
+    global _SUPPORTED
+    if INTERPRET:
+        return True
+    if _SUPPORTED is None:
+        try:
+            def k(x_ref, o_ref):
+                v = x_ref[:, :].reshape(1, TSQ)
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (8, TSQ), 0)
+                      == (v & 7)).astype(jnp.int8)
+                b = (v & 0xF).astype(jnp.int32).astype(jnp.int8)
+                o_ref[:, :] = jax.lax.dot_general(
+                    b, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+            out = pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((1, 8), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(jnp.ones((TS, TS), jnp.int32))
+            _SUPPORTED = bool(int(out.sum()) == TSQ)
+        except Exception:  # noqa: BLE001 — any lowering failure disables
+            _SUPPORTED = False
+    return _SUPPORTED
+
 
 def _bytes8(v):
     """(R, N) int32 -> list of 4 (R, N) s8 byte planes."""

@@ -182,7 +182,8 @@ def _cascade():
 
     rungs = [
         {},                        # full: all Pallas kernels + engines
-        {"DWT_NO_ENGINE": "1"},    # no Hilbert engines / MXU transpose
+        # no Hilbert engines / MXU transpose / MXU rank prefix sums
+        {"DWT_NO_ENGINE": "1", "DWT_NO_MXURANK": "1"},
         {"DWT_NO_PALLAS": "1"},    # XLA fallbacks everywhere
     ]
     for extra in rungs:

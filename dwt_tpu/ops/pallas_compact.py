@@ -57,6 +57,8 @@ embedding application enables x64.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -108,6 +110,13 @@ B2ROWS = B1ROWS + SUBAL + 8
 MCOLS = 8
 
 
+# Lane-axis rank prefix sums ride the MXU (one s8 matmul against a
+# strictly-triangular constant held in persistent scratch) instead of
+# log2(SUB) shifted adds on the VPU — the adds were the kernels' largest
+# remaining per-plane classification cost.  DWT_NO_MXURANK=1 falls back.
+MXU_RANKS = os.environ.get("DWT_NO_MXURANK") != "1"
+
+
 def _excl_lanes(m, n):
     """Exclusive prefix sum along the lane axis of (rows, n) int32."""
     x = m
@@ -117,6 +126,22 @@ def _excl_lanes(m, n):
             [jnp.zeros((x.shape[0], k), x.dtype), x[:, :-k]], axis=1)
         k *= 2
     return x - m
+
+
+def _tri_init(tri_scr, n):
+    """Fill the (n, n) s8 strictly-lower-from-the-left matrix
+    tri[j, i] = (j < i); m @ tri is the exclusive lane prefix sum."""
+    tri_scr[:, :] = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.int8)
+
+
+def _excl_lanes_mxu(masks_s8, tri_scr):
+    """(rows, n) s8 0/1 masks -> (rows, n) int32 exclusive lane prefix
+    sums, as one s8 x s8 -> s32 MXU contraction (exact: counts < 2^15)."""
+    return jax.lax.dot_general(
+        masks_s8, tri_scr[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
 
 
 def _excl_rows(col):
@@ -218,11 +243,18 @@ def _masks2d(v, p, u_len):
 # ---------------------------------------------------------------------------
 
 def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
-              win_s, win_b, sem_el, sem_in, sem_out):
+              win_s, win_b, tri, sem_el, sem_in, sem_out):
     del tok_in  # aliased with tok_out
     b = pl.program_id(0)
     nsig = meta_ref[8 * b + 6]
     RA = E // SUBA
+
+    if MXU_RANKS:
+        # Persistent scratch: built once at grid step 0, reused by every
+        # later unit (the TPU grid is sequential; interpret mode matches).
+        @pl.when(b == 0)
+        def _():
+            _tri_init(tri, SUBA)
 
     @pl.when(nsig > 0)
     def _():
@@ -242,8 +274,13 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
         mS = ok & (sh == 1)
         mZ = ok & (sh == 0)
         mSi = mS.astype(jnp.int32)
-        sex = _excl_lanes(mSi, SUBA)
-        zex = _excl_lanes(mZ.astype(jnp.int32), SUBA)
+        if MXU_RANKS:
+            both = _excl_lanes_mxu(jnp.concatenate(
+                [mS.astype(jnp.int8), mZ.astype(jnp.int8)], axis=0), tri)
+            sex, zex = both[:RA, :], both[RA:, :]
+        else:
+            sex = _excl_lanes(mSi, SUBA)
+            zex = _excl_lanes(mZ.astype(jnp.int32), SUBA)
         cnt_r = jnp.sum(mSi, axis=1, keepdims=True, dtype=jnp.int32)
         z_r = jnp.sum(mZ, axis=1, keepdims=True, dtype=jnp.int32)
         scum = _excl_rows(cnt_r)
@@ -350,6 +387,7 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
             pltpu.VMEM((1, WTOK_SMALL), jnp.int32),
             pltpu.VMEM((1, WTOK_BIG), jnp.int32),
+            pltpu.VMEM((SUBA, SUBA), jnp.int8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -375,10 +413,15 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
-              win, sem_el, sem_in, sem_out):
+              win, tri, sem_el, sem_in, sem_out):
     del words_in
     b = pl.program_id(0)
     RB = E // SUBB
+
+    if MXU_RANKS:
+        @pl.when(b == 0)
+        def _():
+            _tri_init(tri, SUBB)
 
     @pl.when(meta_ref[8 * b + 6] > 0)
     def _():
@@ -398,7 +441,10 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
         ok, _, sh = _masks2d(v, meta_ref[8 * b + 2], meta_ref[8 * b + 1])
         mR = ok & (sh > 1)
         mRi = mR.astype(jnp.int32)
-        rex = _excl_lanes(mRi, SUBB)
+        if MXU_RANKS:
+            rex = _excl_lanes_mxu(mR.astype(jnp.int8), tri)
+        else:
+            rex = _excl_lanes(mRi, SUBB)
         r_r = jnp.sum(mRi, axis=1, keepdims=True, dtype=jnp.int32)
         rcum = _excl_rows(r_r)
         bitpos = meta_ref[8 * b + 4] + rcum + rex  # window-local bits
@@ -462,6 +508,7 @@ def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
             pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
             pltpu.VMEM((E // SUBB, SUBB), jnp.uint32),
             pltpu.VMEM((1, WREF), jnp.uint32),
+            pltpu.VMEM((SUBB, SUBB), jnp.int8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -208,6 +208,107 @@ class _Segs:
 # Stage 1: transform + statistics (token counts, schedule, carry chain)
 # ---------------------------------------------------------------------------
 
+def _plane_stats(q, valid, segs: _Segs, C: int, L: int, planes_max):
+    """(C, L, PMAX) / (C, nchunk, PMAX) per-plane token statistics in three
+    fused one-hot reduction passes over the coefficient axis (the round-1
+    rolled loop paid ~5 passes x planes_max): per-512-block plane
+    histograms, last-significant positions, and boundary-prefix zero
+    counts.  trailZ(c,l,p) — zeros after the level's last newly-significant
+    element (rle.h run threading) — decomposes exactly because level-local
+    indices are monotone across a level's chunks: the level's lastS lives
+    in exactly one chunk k*, so z_upto = sum_{k<k*} nZ_ck[k] + (chunk-local
+    zeros at idx <= lastS), all chunk-local one-hot reductions.  Values at
+    p >= planes_max differ from the loop's zeros only in slots every
+    consumer masks by step validity.  DWT_STATS_LOOP=1 restores the loop.
+    """
+    if os.environ.get("DWT_STATS_LOOP") == "1":
+        return _plane_stats_loop(q, valid, segs, C, L, planes_max)
+    nb = q.shape[1] // 512
+    qb = q.reshape(C, nb, 512)
+    validb = jnp.asarray(segs.valid_np).reshape(1, nb, 512)
+    idxb = segs.idx_local.reshape(1, nb, 512)
+    p_all = jnp.arange(PMAX, dtype=jnp.int32)
+    ids = jnp.asarray(segs.block_chunk)
+
+    z0_b = jnp.sum((qb == -1) & validb, axis=2, dtype=jnp.int32)  # (C, nb)
+    hist_p, last_p = [], []
+    GP = 8  # planes per fused pass: bounds any materialized temporary
+    for g0 in range(0, PMAX, GP):
+        pg = p_all[g0 : g0 + GP]
+        oh = qb[..., None] == pg
+        hist_p.append(jnp.sum(oh, axis=2, dtype=jnp.int32))
+        last_p.append(jnp.max(jnp.where(oh, idxb[..., None], -1), axis=2))
+    hist_b = jnp.concatenate(hist_p, axis=-1)   # (C, nb, PMAX)
+    lastS_b = jnp.concatenate(last_p, axis=-1)
+
+    zero_ckp = jnp.zeros((C, segs.nchunk, PMAX), jnp.int32)
+    nS_ck = zero_ckp.at[:, ids].add(hist_b, indices_are_sorted=True)
+    lastS_ck = jnp.full((C, segs.nchunk, PMAX), -1, jnp.int32).at[
+        :, ids].max(lastS_b, indices_are_sorted=True)
+    z0_ck = jnp.zeros((C, segs.nchunk), jnp.int32).at[:, ids].add(
+        z0_b, indices_are_sorted=True)
+    nZ_ck = z0_ck[..., None] + (jnp.cumsum(nS_ck, axis=2) - nS_ck)
+
+    # Chunk-local boundary-prefix zeros: zeros at idx <= the chunk's own
+    # last-significant position, per plane.
+    lastS_bc = jnp.take(lastS_ck, ids, axis=1)  # (C, nb, PMAX)
+    qzb = jnp.where(validb, qb, jnp.int32(2**30))
+    zup_p = []
+    for g0 in range(0, PMAX, GP):
+        pg = p_all[g0 : g0 + GP]
+        m = ((qzb[..., None] < pg)
+             & (idxb[..., None] <= lastS_bc[:, :, None, g0 : g0 + GP]))
+        zup_p.append(jnp.sum(m, axis=2, dtype=jnp.int32))
+    zup_ck = zero_ckp.at[:, ids].add(
+        jnp.concatenate(zup_p, axis=-1), indices_are_sorted=True)
+
+    def lvl(x, red):
+        return jnp.stack(
+            [red(x[:, b : b + c]) for b, c in
+             zip(segs.level_chunk_base, segs.level_nchunk)], axis=1)
+
+    nS = lvl(nS_ck, lambda s: s.sum(axis=1, dtype=jnp.int32))
+    nZ = lvl(nZ_ck, lambda s: s.sum(axis=1, dtype=jnp.int32))
+    lastS = lvl(lastS_ck, lambda s: s.max(axis=1))          # (C, L, PMAX)
+    lastS_cc = jnp.concatenate(
+        [jnp.broadcast_to(lastS[:, l : l + 1],
+                          (C, segs.level_nchunk[l], PMAX))
+         for l in range(L)], axis=1)                        # (C, nchunk, PMAX)
+    zcar = segs.level_excl_cumsum(nZ_ck)
+    is_k = (lastS_ck == lastS_cc) & (lastS_ck >= 0)
+    z_upto = lvl(jnp.where(is_k, zcar + zup_ck, 0),
+                 lambda s: s.sum(axis=1, dtype=jnp.int32))
+    return nS, nZ, nZ - z_upto, nS_ck, nZ_ck
+
+
+def _plane_stats_loop(q, valid, segs: _Segs, C: int, L: int, planes_max):
+    """Rolled per-plane fallback (the round-1 formulation): one plane's
+    temporaries live at a time, traced upper bound skips planes beyond the
+    image's maximum."""
+    idx = jnp.broadcast_to(segs.idx_local[None, :], q.shape)
+
+    def stat_body(p, acc):
+        nS, nZ, trailZ, nS_ck, nZ_ck = acc
+        maskS = (q == p) & valid
+        maskZ = (q < p) & valid
+        s_ck = segs.chunk_sum(maskS)
+        z_ck = segs.chunk_sum(maskZ)
+        s_cnt = segs.level_sum(s_ck)
+        z_cnt = segs.level_sum(z_ck)
+        lastS = segs.reduce_max(jnp.where(maskS, idx, -1))
+        z_upto = segs.reduce_sum(
+            (maskZ & (idx <= segs.bcast(lastS))).astype(jnp.int32))
+        return (nS.at[:, :, p].set(s_cnt), nZ.at[:, :, p].set(z_cnt),
+                trailZ.at[:, :, p].set(z_cnt - z_upto),
+                nS_ck.at[:, :, p].set(s_ck), nZ_ck.at[:, :, p].set(z_ck))
+
+    zero_clp = jnp.zeros((C, L, PMAX), jnp.int32)
+    zero_ckp = jnp.zeros((C, segs.nchunk, PMAX), jnp.int32)
+    return jax.lax.fori_loop(
+        0, jnp.minimum(planes_max, PMAX), stat_body,
+        (zero_clp, zero_clp, zero_clp, zero_ckp, zero_ckp))
+
+
 def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
     data = img.astype(jnp.int32)
     if not gray:
@@ -256,33 +357,8 @@ def _stats_from_lin(lin, pyr: Pyramid, channels: int):
     planes = 1 + jnp.max(jnp.where(valid, q, -1), axis=1)  # (C,)
     planes_max = jnp.max(planes)
 
-    idx = jnp.broadcast_to(segs.idx_local[None, :], q.shape)
-
-    # Per-(level-chunk, plane) and per-(E-chunk, plane) stats via a rolled
-    # loop over planes: one iteration's temporaries live at a time (the
-    # unrolled form OOMs HBM at 4K), and the traced upper bound skips
-    # planes beyond the image's actual maximum.  The E-chunk histograms
-    # feed the Pallas compaction kernels' per-unit rank carries.
-    def stat_body(p, acc):
-        nS, nZ, trailZ, nS_ck, nZ_ck = acc
-        maskS = (q == p) & valid
-        maskZ = (q < p) & valid
-        s_ck = segs.chunk_sum(maskS)
-        z_ck = segs.chunk_sum(maskZ)
-        s_cnt = segs.level_sum(s_ck)
-        z_cnt = segs.level_sum(z_ck)
-        lastS = segs.reduce_max(jnp.where(maskS, idx, -1))
-        z_upto = segs.reduce_sum(
-            (maskZ & (idx <= segs.bcast(lastS))).astype(jnp.int32))
-        return (nS.at[:, :, p].set(s_cnt), nZ.at[:, :, p].set(z_cnt),
-                trailZ.at[:, :, p].set(z_cnt - z_upto),
-                nS_ck.at[:, :, p].set(s_ck), nZ_ck.at[:, :, p].set(z_ck))
-
-    zero_clp = jnp.zeros((C, L, PMAX), jnp.int32)
-    zero_ckp = jnp.zeros((C, segs.nchunk, PMAX), jnp.int32)
-    nS, nZ, trailZ, nS_ck, nZ_ck = jax.lax.fori_loop(
-        0, jnp.minimum(planes_max, PMAX), stat_body,
-        (zero_clp, zero_clp, zero_clp, zero_ckp, zero_ckp))
+    nS, nZ, trailZ, nS_ck, nZ_ck = _plane_stats(q, valid, segs, C, L,
+                                                planes_max)
     nums = jnp.asarray(segs.real, jnp.int32)
     nRef = jnp.where(
         jnp.arange(PMAX)[None, None, :] < planes_max,

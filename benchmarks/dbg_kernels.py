@@ -47,27 +47,28 @@ for name, img in CASES:
     nwords = _stream_words(pyr, C, padded_T)
     print(f"--- {name}: T={int(stats['T'])} padded_T={padded_T}", flush=True)
 
-    tokP, vmag, com = jax.jit(
+    zpP, sgP, vmag, com = jax.jit(
         lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
     )(lin, stats)
-    tokX = jax.jit(
+    zpX, sgX = jax.jit(
         lambda lin, stats: _sig_tokens_xla(lin, stats, pyr, C, padded_T)
     )(lin, stats)
-    tp, tx = np.asarray(tokP), np.asarray(tokX)
-    bad = np.nonzero(tp != tx)[0]
-    print(f"kernel A: {bad.size} mismatching token slots of {padded_T}",
+    tp = np.stack([np.asarray(zpP), np.asarray(sgP)], axis=-1)
+    tx = np.stack([np.asarray(zpX), np.asarray(sgX)], axis=-1)
+    bad = np.nonzero((tp != tx).any(-1))[0]
+    print(f"kernel A: {bad.size} mismatching pair slots of {padded_T // 2}",
           flush=True)
     if bad.size:
         fail = 1
         print("  first bad slots:", bad[:10])
-        print("  got ", tp[bad[:10]])
-        print("  want", tx[bad[:10]])
+        print("  got ", tp[bad[:10]].tolist())
+        print("  want", tx[bad[:10]].tolist())
 
-    # Continue from the XLA tokens so kernel B is tested in isolation.
+    # Continue from the XLA pairs so kernel B is tested in isolation.
     tv, tr, tf = jax.jit(
-        lambda tok0, lin, stats: _finish_tokens(tok0, lin, stats, pyr, C,
-                                                padded_T)
-    )(tokX, lin, stats)
+        lambda zp, sg, lin, stats: _finish_tokens(zp, sg, lin, stats, pyr, C,
+                                                  padded_T)
+    )(zpX, sgX, lin, stats)
     orders = jax.jit(lambda tv, tf: _vli_orders(tv, tf, padded_T))(tv, tf)
     words, total_bits, off, off_base = jax.jit(
         lambda lin, stats, tv, tr, tf, o: _pack_bits(

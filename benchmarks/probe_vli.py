@@ -27,12 +27,13 @@ lin, stats = enc._stage1(jnp.asarray(img), enc._perm)
 padded_T = _bucket(int(stats["T"]))
 pyr, C = enc.pyr, 3
 
-tokA, vmag, com = jax.jit(
+zpA, sgA, vmag, com = jax.jit(
     lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
 )(lin, stats)
 tv, tr, tf = jax.jit(
-    lambda tok0, lin, stats: _finish_tokens(tok0, lin, stats, pyr, C, padded_T)
-)(tokA, lin, stats)
+    lambda zp, sg, lin, stats: _finish_tokens(zp, sg, lin, stats, pyr, C,
+                                              padded_T)
+)(zpA, sgA, lin, stats)
 
 
 def timed(name, fn, *args):

@@ -74,14 +74,15 @@ timed("stage1c perm gather only",
 timed("stage1d stats from lin",
       lambda l: encoder._stats_from_lin(l, pyr, C)[1], lin)
 
-tokA, vmag, com = timed(
+zpA, sgA, vmag, com = timed(
     "A: sig-token compaction",
     lambda lin, stats: _sig_tokens_pallas(lin, stats, pyr, C, padded_T),
     lin, stats)
 tv, tr, tf = timed(
     "finish tokens (dense)",
-    lambda tok0, lin, stats: _finish_tokens(tok0, lin, stats, pyr, C, padded_T),
-    tokA, lin, stats)
+    lambda zp, sg, lin, stats: _finish_tokens(zp, sg, lin, stats, pyr, C,
+                                              padded_T),
+    zpA, sgA, lin, stats)
 orders = timed("VLI order scan", lambda tv, tf: _vli_orders(tv, tf, padded_T),
                tv, tf)
 words, total_bits, off, off_base = timed(

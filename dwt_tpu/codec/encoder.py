@@ -430,8 +430,11 @@ def _stats_from_lin(lin, pyr: Pyramid, channels: int):
         cnt_al = (cnt_s + _BT - 1) // _BT * _BT
         steps_base0_al = (steps_base0 + _BT - 1) // _BT * _BT
     else:
-        cnt_al = cnt_s
-        steps_base0_al = steps_base0
+        # Pair alignment (the extra slot is a 0-bit raw token emitting
+        # nothing): the dense finisher classifies in pair space, which
+        # needs every step base even.
+        cnt_al = (cnt_s + 1) // 2 * 2
+        steps_base0_al = (steps_base0 + 1) // 2 * 2
     base_s = (steps_base0_al + _excl_cumsum(cnt_al)).astype(jnp.int32)
     T = steps_base0_al + jnp.sum(cnt_al, dtype=jnp.int32) + 1  # +1 flush token
     # Offset-injection site per step: the next step's (block-aligned) base,
@@ -562,80 +565,85 @@ def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
     vmag = _packed_elems(lin, segs)
     pair0 = jnp.zeros((1, pairbuf), jnp.int32)
     pairs = pc.compact_tokens_pallas(vmag, meta, pair0)[0, :npair]
-    tok = jnp.stack([pairs >> 1, pairs & 1], axis=-1).reshape(-1)
-    return tok, vmag, com
+    return pairs >> 1, pairs & 1, vmag, com
 
 
 def _sig_tokens_xla(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
-    """Fallback (CPU and DWT_NO_PALLAS): scatter the same (zpfx, sign)
-    values at their token slots with XLA scatters."""
+    """Fallback (CPU and DWT_NO_PALLAS): scatter the same zero-prefix and
+    sign values at their PAIR ranks with XLA scatters.  Unlike the Pallas
+    kernel's packed (zpfx << 1) | sign value, the two separate arrays keep
+    zero-prefixes up to 2^31 valid (no 2^30 segment-size ceiling)."""
     C = channels
     segs = _Segs(pyr)
-    DUMP = padded_T
+    npair = padded_T // 2
+    DUMP = npair
     q, _, det, valid = _detail_q(lin, segs)
     sgn = (det < 0).astype(jnp.int32)
     step_base = stats["step_base"]
 
     def plane_body(p, acc):
-        zpfx_acc, srank_acc = acc
+        zpfx_acc, prank_acc = acc
         maskS = (q == p) & valid
         maskZ = (q < p) & valid
         zpfx = segs.excl_cumsum(maskZ.astype(jnp.int32))
         ks = segs.excl_cumsum(maskS.astype(jnp.int32))
-        base = segs.bcast(step_base[:, :, p])
+        base = segs.bcast(step_base[:, :, p])  # even (pair-aligned)
         return (jnp.where(maskS, zpfx, zpfx_acc),
-                jnp.where(maskS, base + 2 * ks, srank_acc))
+                jnp.where(maskS, (base >> 1) + ks, prank_acc))
 
-    zpfx_acc, srank_acc = jax.lax.fori_loop(
+    zpfx_acc, prank_acc = jax.lax.fori_loop(
         0, jnp.minimum(stats["planes_max"], PMAX), plane_body,
         (jnp.zeros((C, segs.n), jnp.int32),
          jnp.full((C, segs.n), DUMP, jnp.int32)))
 
-    tok = jnp.zeros(padded_T + 1, jnp.int32)
-    sr = srank_acc.reshape(-1)
-    tok = tok.at[sr].set(zpfx_acc.reshape(-1))
-    gr = jnp.where(srank_acc != DUMP, srank_acc + 1, DUMP).reshape(-1)
-    tok = tok.at[gr].set(sgn.reshape(-1))
-    return tok[:padded_T]
+    pr = prank_acc.reshape(-1)
+    zp = jnp.zeros(npair + 1, jnp.int32).at[pr].set(zpfx_acc.reshape(-1))
+    sg = jnp.zeros(npair + 1, jnp.int32).at[pr].set(sgn.reshape(-1))
+    return zp[:npair], sg[:npair]
 
 
-def _finish_tokens(tok0, lin, stats, pyr: Pyramid, channels: int,
+def _finish_tokens(zp, sgn, lin, stats, pyr: Pyramid, channels: int,
                    padded_T: int):
     """Dense completion of the token arrays — no per-coefficient scatters.
 
-    ``tok0`` holds zpfx at even significance slots and signs at odd slots
-    (from kernel A or the XLA fallback).  Everything else is derived
-    densely: step membership via scatter-max + cummax forward fills over
-    the (tiny) schedule-step tables, run values as diffs of consecutive
-    zpfx slots (+ the step's cross-step zero carry at its first slot), and
-    the root/plane-count/ref-run/flush tokens as small scatters.
+    ``zp``/``sgn`` hold each significance pair's zero-prefix and sign at
+    its PAIR rank (from kernel A or the XLA fallback; step bases are even,
+    so pair rank = token slot / 2).  Everything dense runs in pair space —
+    half the elements through the forward fills and diffs: step membership
+    via scatter-max + cummax fills over the (tiny) schedule-step tables,
+    run values as diffs of consecutive zero-prefixes (+ the step's
+    cross-step zero carry at its first pair).  The interleave to token
+    space is one stack+reshape; root/plane-count/ref-run/flush tokens land
+    as small scatters on the token arrays.
     """
     C = channels
     pix0 = pyr.pixels[0]
     DUMP = padded_T
 
-    t = jnp.arange(padded_T, dtype=jnp.int32)
-    base_sched = stats["base_sched"]
+    npair = padded_T // 2
+    pa = jnp.arange(npair, dtype=jnp.int32)
+    base_p = stats["base_sched"] >> 1
     nS_sched = stats["nS_sched"]
-    sigend_sched = base_sched + 2 * nS_sched
-    bpos = jnp.clip(base_sched, 0, padded_T - 1)
+    bpos = jnp.clip(base_p, 0, npair - 1)
     sb_f = jax.lax.cummax(
-        jnp.zeros(padded_T, jnp.int32).at[bpos].max(base_sched))
+        jnp.zeros(npair, jnp.int32).at[bpos].max(base_p))
     se_f = jax.lax.cummax(
-        jnp.zeros(padded_T, jnp.int32).at[bpos].max(sigend_sched))
-    steps0 = stats["planes_base"] + C
-    in_sig = (t >= steps0) & (t < se_f)
-    even = ((t - sb_f) & 1) == 0
-    first = t == sb_f
-    cin_add = jnp.zeros(padded_T, jnp.int32).at[bpos].add(
+        jnp.zeros(npair, jnp.int32).at[bpos].max(base_p + nS_sched))
+    in_sig = pa < se_f  # pad pairs / pre-step region: se_f <= pa
+    first = pa == sb_f
+    cin_add = jnp.zeros(npair, jnp.int32).at[bpos].add(
         jnp.where(stats["valid_sched"] & (nS_sched > 0),
                   stats["cin_sched"], 0))
-    prev2 = jnp.concatenate([jnp.zeros(2, jnp.int32), tok0[:-2]])
-    runval = tok0 - jnp.where(first, 0, prev2) + cin_add
+    prev1 = jnp.concatenate([jnp.zeros(1, jnp.int32), zp[:-1]])
+    runval = zp - jnp.where(first, 0, prev1) + cin_add
 
-    tok_val = jnp.where(in_sig & even, runval, tok0)
-    tok_raw = jnp.where(in_sig & ~even, 1, 0).astype(jnp.int32)
-    tok_vli = in_sig & even
+    zero_p = jnp.zeros(npair, jnp.int32)
+    tok_val = jnp.stack(
+        [jnp.where(in_sig, runval, zp), sgn], axis=-1).reshape(-1)
+    tok_raw = jnp.stack(
+        [zero_p, jnp.where(in_sig, 1, 0)], axis=-1).reshape(-1)
+    tok_vli = jnp.stack(
+        [in_sig, jnp.zeros(npair, jnp.bool_)], axis=-1).reshape(-1)
 
     # spare DUMP slot for masked small scatters
     tok_val = jnp.concatenate([tok_val, jnp.zeros(1, jnp.int32)])
@@ -955,10 +963,10 @@ def _stage2_pipeline(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
         default=0) + ALIGN
     use_pallas = _use_pallas_pack(padded_T) and seg_max < (1 << 30)
     if use_pallas:
-        tok0, vmag, com = _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
+        zp, sgn, vmag, com = _sig_tokens_pallas(lin, stats, pyr, C, padded_T)
     else:
-        tok0 = _sig_tokens_xla(lin, stats, pyr, C, padded_T)
-    tv, tr, tf = _finish_tokens(tok0, lin, stats, pyr, C, padded_T)
+        zp, sgn = _sig_tokens_xla(lin, stats, pyr, C, padded_T)
+    tv, tr, tf = _finish_tokens(zp, sgn, lin, stats, pyr, C, padded_T)
     orders = _vli_orders(tv, tf, padded_T)
     words, total_bits, off, off_base = _pack_bits(
         lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords)

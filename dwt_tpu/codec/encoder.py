@@ -697,25 +697,38 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     B = ceil_log2(2^(A+1) - v) — verified token-exact against
     _vli_next_state on the 4K stream.  State carries are int8.
     """
-    nblk = padded_T // BLOCK
+    npair = padded_T // 2
+    nblk = npair // BLOCK
     L = jnp.maximum(_ilog2_i32(jnp.maximum(tok_val, 1)), 0)
     rem = (jnp.int32(2) << L) - tok_val
     Bt = jnp.where(rem <= 1, 0, _ilog2_i32(jnp.maximum(rem - 1, 1)) + 1)
     ab = jnp.where(tok_vli, L | (Bt << 5), -1)
+    # Pair packing: both slots' (a, b) parameters (plus a +1 validity bias,
+    # 11 bits each) ride ONE int32 per pair, halving the transposes and the
+    # scan-state traffic.  Step bases are even, but VLI tokens still land
+    # on odd slots in the root region (and the per-channel plane counts are
+    # ADJACENT VLIs), so each scan step applies the transition twice.
+    ab2 = ab.reshape(npair, 2)
+    packed = (ab2[:, 0] + 1) | ((ab2[:, 1] + 1) << 11)
     if _use_engine():  # MXU transpose: ~4x the XLA shuffle path on TPU
         from ..ops.pallas_transpose import transpose2d as _tr
     else:
         def _tr(m):
             return m.T
-    ab_b = _tr(ab.reshape(nblk, BLOCK))  # (BLOCK, nblk): one transpose in
+    ab_b = _tr(packed.reshape(nblk, BLOCK))  # (BLOCK, nblk): one transpose in
 
-    def trans(s, ab_row):
-        a = (ab_row & 31).astype(jnp.int8)[:, None]
-        b = ((ab_row >> 5) & 31).astype(jnp.int8)[:, None]
+    def apply1(s, x):
+        """One token's transition from (a+1 | b<<5 biased) params; x == 0
+        marks a non-VLI slot (no-op)."""
+        a = ((x - 1) & 31).astype(jnp.int8)[:, None]
+        b = (((x - 1) >> 5) & 31).astype(jnp.int8)[:, None]
         ns = jnp.clip(
             jnp.maximum(s, a + (s >= b).astype(jnp.int8)) - jnp.int8(2),
             jnp.int8(0), jnp.int8(NSTATE - 1))
-        return jnp.where((ab_row >= 0)[:, None], ns, s)
+        return jnp.where((x > 0)[:, None], ns, s)
+
+    def trans(s, row):
+        return apply1(apply1(s, row & 0x7FF), (row >> 11) & 0x7FF)
 
     # Pass A: per-block transition map for all NSTATE possible entry states.
     init = jnp.broadcast_to(jnp.arange(NSTATE, dtype=jnp.int8)[None, :],
@@ -731,12 +744,16 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     minc = jax.lax.associative_scan(compose, maps.astype(jnp.int32), axis=0)
     entry = jnp.concatenate([jnp.zeros((1,), jnp.int32), minc[:-1, 0]])
 
-    # Pass C: replay with the true entry state, record order at each token.
-    def stepC(s, ab_row):
-        return trans(s, ab_row), s
+    # Pass C: replay with the true entry state, record both slots' orders
+    # (5 bits each, NSTATE - 1 < 32) in one int32 per pair.
+    def stepC(s, row):
+        s1 = apply1(s, row & 0x7FF)
+        out = s.astype(jnp.int32) | (s1.astype(jnp.int32) << 5)
+        return apply1(s1, (row >> 11) & 0x7FF), out
 
     _, orders = jax.lax.scan(stepC, entry.astype(jnp.int8)[:, None], ab_b)
-    return _tr(orders[:, :, 0]).reshape(padded_T).astype(jnp.int32)
+    op = _tr(orders[:, :, 0]).reshape(npair)
+    return jnp.stack([op & 31, (op >> 5) & 31], axis=-1).reshape(padded_T)
 
 
 def _use_pallas() -> bool:

@@ -98,7 +98,12 @@ ASPLIT = (16, 64, 128, 256)   # split tiers: cover cnt <= t
 ADIRECT = (576, SUBA + SUBAL)  # direct tiers: cover cnt <= rows - SUBAL
 # Kernel B stream-word window; every row's refinement bits are consecutive,
 # touching <= SUBB/32 + 1 words, so B always uses the split placement.
+# Sparse rows (cnt <= 32*B0ROWS - 31 bits touch <= B0ROWS words) take a
+# smaller first one-hot: high planes classify most elements as refined so
+# deep-plane rows are dense, but near planes_max the per-row counts drop
+# and the fixed B1ROWS construct (rows x SUBB lane-ops) dominated them.
 WREF = E // 32 + 256
+B0ROWS = 16
 B1ROWS = SUBB // 32 + 8
 B2ROWS = B1ROWS + SUBAL + 8
 
@@ -471,11 +476,25 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
                     cnt = jnp.sum((tgt >= 0).astype(jnp.int32), axis=1)[0]
 
                     @pl.when(cnt > 0)
-                    def _(tgt=tgt, vals=vals):
+                    def _(tgt=tgt, vals=vals, cnt=cnt):
                         base0 = jnp.min(jnp.where(
                             tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
-                        _place_split(win, base0, B1ROWS, B2ROWS, tgt, vals,
-                                     True, WREF)
+                        if B0ROWS < B1ROWS:
+                            lim0 = 32 * B0ROWS - 31  # bits spanning <= B0ROWS words
+
+                            @pl.when(cnt <= lim0)
+                            def _(base0=base0):
+                                _place_split(win, base0, B0ROWS,
+                                             B0ROWS + SUBAL + 8, tgt, vals,
+                                             True, WREF)
+
+                            @pl.when(cnt > lim0)
+                            def _(base0=base0):
+                                _place_split(win, base0, B1ROWS, B2ROWS, tgt,
+                                             vals, True, WREF)
+                        else:
+                            _place_split(win, base0, B1ROWS, B2ROWS, tgt,
+                                         vals, True, WREF)
 
             return c
 

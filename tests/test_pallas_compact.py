@@ -40,17 +40,26 @@ def small_kernels(monkeypatch):
     yield
 
 
-@pytest.mark.parametrize("kind", ["noise", "mixed"])
+@pytest.mark.parametrize("kind", ["noise", "mixed", "checker"])
 def test_stage2_kernels_byte_identical(small_kernels, monkeypatch, kind):
     from dwt_tpu import specmodel
     from dwt_tpu.codec import encoder
 
     rng = np.random.default_rng(11)
-    img = random_image(rng, 64, 48, 3, kind)
+    if kind == "checker":
+        # Alternating 0/255 columns: one dominant bitplane saturates rows
+        # through kernel B's dense tier (and kernel A's direct tiers);
+        # high planes drive its sparse tier.
+        img = np.zeros((96, 128, 3), np.uint8)
+        img[:, ::2] = 255
+        w, h = 128, 96
+    else:
+        img = random_image(rng, 64, 48, 3, kind)
+        w, h = 64, 48
 
     monkeypatch.setattr(encoder, "_use_pallas", lambda: True)
     monkeypatch.setattr(encoder, "_use_pallas_pack", lambda t: True)
-    enc = encoder.Encoder(64, 48, 3)
+    enc = encoder.Encoder(w, h, 3)
     got = enc.encode(img)
 
     want = specmodel.encode(img, gray=False)

@@ -70,3 +70,42 @@ def test_pmax_covers_format_ceiling():
     # schedule grid never silently clips.
     assert encoder.PMAX == 29
     assert encoder.LMAX >= 2 * max(16, encoder.PMAX) - 1
+
+
+def test_bitflip_fuzz_never_crashes():
+    """Single-bit corruptions of a valid stream must decode to SOMETHING or
+    raise ValueError — never crash, hang, or hit UB in the native parser.
+    (The reference decoder's behavior on corrupt input is exit-with-error;
+    ours must stay memory-safe for the same inputs.)"""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import random_image
+
+    rng = np.random.default_rng(77)
+    img = random_image(rng, 96, 64, 3, "mixed")
+    stream = bytearray(encoder.encode(img))
+    for _ in range(40):
+        pos = int(rng.integers(6, len(stream)))  # keep the header valid
+        bit = int(rng.integers(0, 8))
+        mut = bytearray(stream)
+        mut[pos] ^= 1 << bit
+        try:
+            out, _ = decoder.decode(bytes(mut))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+def test_random_blob_fuzz_never_crashes():
+    """Pure-noise payloads behind a valid header: graceful error or a
+    (garbage) image, never a crash."""
+    rng = np.random.default_rng(78)
+    for _ in range(30):
+        n = int(rng.integers(1, 4000))
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            out, _ = decoder.decode(_header(64, 48, gray=False) + blob)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass

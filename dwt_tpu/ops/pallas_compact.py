@@ -94,16 +94,16 @@ WTOK_BIG = E + 256
 # dense result with a (t + SUBAL + 8, t) one-hot — construct cost
 # t*(SUBA + t + 136) instead of (t + SUBAL)*SUBA); dense rows keep the
 # direct one-hot, which is cheaper once t^2 rivals SUBAL*SUBA.
-ASPLIT = (16, 64, 128, 256)   # split tiers: cover cnt <= t
+ASPLIT = (4, 16, 64, 128, 256)   # split tiers: cover cnt <= t
 ADIRECT = (576, SUBA + SUBAL)  # direct tiers: cover cnt <= rows - SUBAL
 # Kernel B stream-word window; every row's refinement bits are consecutive,
 # touching <= SUBB/32 + 1 words, so B always uses the split placement.
-# Sparse rows (cnt <= 32*B0ROWS - 31 bits touch <= B0ROWS words) take a
-# smaller first one-hot: high planes classify most elements as refined so
-# deep-plane rows are dense, but near planes_max the per-row counts drop
-# and the fixed B1ROWS construct (rows x SUBB lane-ops) dominated them.
+# Sparse rows (cnt bits spanning <= t words for a BSPLIT tier t) take a
+# smaller first one-hot: deep planes classify most elements as refined so
+# their rows are dense, but near planes_max the per-row counts drop and
+# the fixed B1ROWS construct (rows x SUBB lane-ops) dominated them.
 WREF = E // 32 + 256
-B0ROWS = 16
+BSPLIT = (8, 16)  # sparse tiers: t rows cover cnt <= 32t - 31 bits
 B1ROWS = SUBB // 32 + 8
 B2ROWS = B1ROWS + SUBAL + 8
 
@@ -479,22 +479,22 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
                     def _(tgt=tgt, vals=vals, cnt=cnt):
                         base0 = jnp.min(jnp.where(
                             tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
-                        if B0ROWS < B1ROWS:
-                            lim0 = 32 * B0ROWS - 31  # bits spanning <= B0ROWS words
+                        # Tier by bit count: t rows hold any run of
+                        # <= 32t - 31 bits (worst-case word misalignment).
+                        tiers = tuple(t for t in BSPLIT if t < B1ROWS) \
+                            + (B1ROWS,)
+                        prev = 0
+                        for i, t in enumerate(tiers):
+                            lim = 32 * t - 31
+                            cond = ((cnt > prev) if i == len(tiers) - 1
+                                    else (cnt > prev) & (cnt <= lim))
 
-                            @pl.when(cnt <= lim0)
-                            def _(base0=base0):
-                                _place_split(win, base0, B0ROWS,
-                                             B0ROWS + SUBAL + 8, tgt, vals,
-                                             True, WREF)
+                            @pl.when(cond)
+                            def _(t=t, base0=base0):
+                                _place_split(win, base0, t, t + SUBAL + 8,
+                                             tgt, vals, True, WREF)
 
-                            @pl.when(cnt > lim0)
-                            def _(base0=base0):
-                                _place_split(win, base0, B1ROWS, B2ROWS, tgt,
-                                             vals, True, WREF)
-                        else:
-                            _place_split(win, base0, B1ROWS, B2ROWS, tgt,
-                                         vals, True, WREF)
+                            prev = lim
 
             return c
 

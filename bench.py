@@ -10,12 +10,26 @@ encoded stream must be byte-identical to the reference C encoder (built
 from /root/reference when present; otherwise the sequential spec encoder
 on a crop).
 
-Output (stdout): {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+Structure (round-3 rework, after BENCH_r02's rc=124):
+ - The persistent XLA compilation cache (dwt_tpu/runtime/cache.py) is
+   enabled everywhere: relay-side compiles of the 4K stage-2 program can
+   take tens of minutes cold, and are sub-second warm.
+ - The cascade first runs the on-device kernel selftest (dwt_tpu/selftest
+   — byte-parity of every kernel configuration at production constants on
+   small images, seconds each when warm) and starts at the first rung
+   whose configuration passed, so a single miscompiling kernel can never
+   consume the whole driver budget before a fallback reports.
+ - Every rung runs a small-image parity gate BEFORE any 4K work.
+ - The JSON records which rung produced the number and the selftest map.
+
+Output (stdout): {"metric": ..., "value": N, "unit": "MP/s",
+"vs_baseline": N, ...}
 Baseline: reference C encoder, same 4K synthetic content: 2.60 MP/s
 (BASELINE.md, measured).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -30,6 +44,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _oracle_or_none():
+    """The reference C binary, if buildable here; else None (loudly)."""
+    sys.path.insert(0, "tests")
+    try:
+        import oracle
+
+        if oracle.available():
+            oracle.encode_bin()  # force the build now, not mid-measurement
+            return oracle
+        log("oracle: /root/reference not present")
+    except Exception as e:  # noqa: BLE001 - report, then fall back
+        log(f"oracle: reference build FAILED ({e!r})")
+    return None
+
+
 def main():
     sys.path.insert(0, "tests")
     from imagegen import random_image
@@ -38,8 +67,29 @@ def main():
     import jax.numpy as jnp
 
     from dwt_tpu.codec import encoder
+    from dwt_tpu.runtime import cache
 
+    cache.enable()
+    rung = os.environ.get("DWT_BENCH_RUNG", "full")
+    orc = _oracle_or_none()
+
+    # ---- small parity gate first: seconds, catches a broken kernel ----
     rng = np.random.default_rng(7)
+    small = random_image(rng, 512, 512, 3, "mixed")
+    t0 = time.time()
+    if orc is not None:
+        from dwt_tpu.io.pnm import pnm_bytes
+
+        assert encoder.encode(small) == orc.ref_encode(pnm_bytes(small)), \
+            f"BENCH INVALID (rung {rung}): 512x512 stream != reference C"
+        log(f"parity gate 512x512 vs reference C: ok ({time.time()-t0:.0f}s)")
+    else:
+        from dwt_tpu import specmodel
+
+        assert encoder.encode(small) == specmodel.encode(small, gray=False), \
+            f"BENCH INVALID (rung {rung}): 512x512 stream != spec model"
+        log(f"parity gate 512x512 vs spec model: ok ({time.time()-t0:.0f}s)")
+
     img = random_image(rng, W, H, 3, "mixed")
     enc = encoder.get_encoder(W, H, 3)
     img_dev = jnp.asarray(img)
@@ -61,27 +111,21 @@ def main():
     int(cs), int(tb)
     log(f"warmup/compile: {time.time()-t0:.1f}s  T={T}")
 
-    # Correctness gate: full stream must match the ground truth.
+    # Correctness gate: the full 4K stream must match the ground truth.
     stream = enc.encode(img)
-    try:
-        sys.path.insert(0, "tests")
-        import oracle
+    if orc is not None:
+        from dwt_tpu.io.pnm import pnm_bytes
 
-        if oracle.available():
-            from dwt_tpu.io.pnm import pnm_bytes
-
-            want = oracle.ref_encode(pnm_bytes(img))
-            assert stream == want, "BENCH INVALID: stream != reference C"
-            log("correctness gate: byte-identical to reference C encoder")
-        else:
-            raise ImportError
-    except (ImportError, Exception) as e:  # noqa: BLE001
-        if isinstance(e, AssertionError):
-            raise
+        want = orc.ref_encode(pnm_bytes(img))
+        assert stream == want, \
+            f"BENCH INVALID (rung {rung}): 4K stream != reference C"
+        log("correctness gate: byte-identical to reference C encoder")
+    else:
         from dwt_tpu import specmodel
 
         crop = img[:256, :256]
-        assert encoder.encode(crop) == specmodel.encode(crop, gray=False)
+        assert encoder.encode(crop) == specmodel.encode(crop, gray=False), \
+            f"BENCH INVALID (rung {rung}): 256 crop != spec model"
         log("correctness gate: spec-model parity on 256x256 crop")
 
     warmup_s = time.time() - t0
@@ -131,8 +175,6 @@ def main():
     # (the production many-stream path — independent tile streams parse on
     # all host cores, one vmapped TPU inverse).  MP/s from threaded parse +
     # device inverse, scalar-only syncs as above.
-    import struct
-
     from dwt_tpu.codec import tiled
     from dwt_tpu.geometry import compute_pyramid
 
@@ -169,25 +211,43 @@ def main():
         "tiled_decode_mps": round(tdec_mps, 3),
         "tiled_decode_vs_baseline": round(tdec_mps / DEC_BASELINE_MPS, 3),
         "warmup_seconds": round(warmup_s, 1),
+        "rung": os.environ.get("DWT_BENCH_RUNG", "full"),
+        "selftest": json.loads(os.environ.get("DWT_BENCH_SELFTEST", "{}")),
     }))
 
 
+# Rung name -> kernel gates.  Mirrors dwt_tpu/selftest.CONFIGS (narrow ->
+# broad there; broad -> narrow here: we bench the fastest configuration
+# whose selftest passed and fall back only on failure).
+RUNGS = [
+    ("full", {}),
+    ("fusedstats", {"DWT_NO_ENGINE": "1"}),
+    ("mxuranks", {"DWT_NO_ENGINE": "1", "DWT_STATS_LOOP": "1"}),
+    ("kernels", {"DWT_NO_ENGINE": "1", "DWT_NO_MXURANK": "1",
+                 "DWT_STATS_LOOP": "1"}),
+    ("xla", {"DWT_NO_PALLAS": "1"}),
+]
+
+
 def _cascade():
-    """Run the measurement in a subprocess; on failure retry with
-    progressively safer kernel gates so a single Mosaic lowering break on
-    a new TPU runtime can never zero out the round's number.  Each rung's
-    byte-identity gate still guards correctness."""
-    import os
+    """Selftest every kernel configuration (small images, seconds when the
+    compile cache is warm), then bench the fastest configuration that
+    passed; fall back down the rungs on any failure.  A single miscompiled
+    kernel therefore costs one small-image selftest, never the driver's 4K
+    budget (BENCH_r02 regression: rc=124)."""
     import subprocess
 
-    rungs = [
-        {},                        # full: all Pallas kernels + engines
-        # no Hilbert engines / MXU transpose / MXU rank prefix sums
-        {"DWT_NO_ENGINE": "1", "DWT_NO_MXURANK": "1"},
-        {"DWT_NO_PALLAS": "1"},    # XLA fallbacks everywhere
-    ]
-    for extra in rungs:
-        env = dict(os.environ, DWT_BENCH_INNER="1", **extra)
+    from dwt_tpu import selftest
+
+    t0 = time.time()
+    st = selftest.run()
+    log(f"selftest: {st} ({time.time()-t0:.0f}s)")
+    for name, extra in RUNGS:
+        if st.get(name) not in (None, "ok"):
+            log(f"bench rung {name}: skipped (selftest {st[name]})")
+            continue
+        env = dict(os.environ, DWT_BENCH_INNER="1", DWT_BENCH_RUNG=name,
+                   DWT_BENCH_SELFTEST=json.dumps(st), **extra)
         try:
             r = subprocess.run([sys.executable, __file__], env=env,
                                timeout=5400)
@@ -196,13 +256,11 @@ def _cascade():
             rc = "timeout"
         if rc == 0:
             return 0
-        log(f"bench rung {extra or 'full'} failed (rc={rc}); trying next")
+        log(f"bench rung {name} failed (rc={rc}); trying next")
     return 1
 
 
 if __name__ == "__main__":
-    import os
-
     if os.environ.get("DWT_BENCH_INNER") == "1":
         main()
     else:

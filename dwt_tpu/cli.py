@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     # verify its own stream decodes losslessly (codec/encoder.py).
     import os
 
+    from .runtime import cache
+
+    cache.enable()
     trace_dir = os.environ.get("DWT_TRACE")
     if trace_dir:
         from .utils.trace import device_trace

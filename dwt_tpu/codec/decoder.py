@@ -144,7 +144,14 @@ def decode_batch(payloads: list, width: int, height: int, gray: bool,
 
 
 def decode(stream: bytes, pixels_max: int = 0) -> tuple:
-    """Full decoder; returns (image uint8 (H, W, C), gray)."""
+    """Full decoder; returns (image uint8 (H, W, C), gray).
+
+    Auto-detects the tiled .dwtt container (the format encoder.encode
+    routes oversized images to), so encode/decode stay one API pair."""
+    if stream[:2] == b"WT":
+        from . import tiled
+
+        return tiled.decode_tiled(stream, pixels_max=pixels_max)
     W, H, gray = parse_header(stream)
     C = 1 if gray else 3
     pyr = compute_pyramid(W, H)

@@ -1162,9 +1162,28 @@ def get_encoder(width: int, height: int, channels: int) -> Encoder:
     return Encoder(width, height, channels)
 
 
+# Coefficient-count ceiling for a single .dwt stream on one chip: beyond
+# this the stream's int32 bit offsets (and HBM working set) can overflow,
+# so encode() transparently routes to the tiled .dwtt container instead —
+# preserving the reference's 65536x65536 format envelope (encode.c:140)
+# behind one API.  Tests shrink it to exercise the route.
+SINGLE_STREAM_MAX_COEFFS = 1 << 27
+
+
 def encode(img: np.ndarray, gray: bool | None = None, capacity: int = 0) -> bytes:
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
-    return get_encoder(w, h, c).encode(img, capacity)
+    if h * w * c > SINGLE_STREAM_MAX_COEFFS:
+        from . import tiled
+
+        return tiled.encode_tiled(img, budget=capacity)
+    try:
+        return get_encoder(w, h, c).encode(img, capacity)
+    except ValueError as e:
+        if "2^31 bits" not in str(e):
+            raise
+        from . import tiled
+
+        return tiled.encode_tiled(img, budget=capacity)

@@ -112,3 +112,22 @@ def test_tiled_reduced_resolution(rng):
             timg = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:hh, :ww]
         want[y0 : y0 + hh, x0 : x0 + ww] = timg
     np.testing.assert_array_equal(out, want)
+
+
+def test_oversized_single_stream_routes_to_container(rng, monkeypatch):
+    """encoder.encode transparently emits the tiled .dwtt container when a
+    single .dwt stream could overflow its int32 bit offsets, preserving the
+    reference's 65536^2 format envelope (encode.c:140) behind one API.  The
+    ceiling is shrunk so CI exercises the route without a >2^31-bit image."""
+    from dwt_tpu.codec import decoder, encoder
+
+    monkeypatch.setattr(encoder, "SINGLE_STREAM_MAX_COEFFS", 64 * 64 * 3 - 1)
+    img = random_image(rng, 96, 64, 3, "mixed")
+    data = encoder.encode(img)
+    assert data[:2] == b"WT"
+    back, gray = decoder.decode(data)
+    assert not gray and np.array_equal(back, img)
+    # under the ceiling: still a plain single stream
+    small = random_image(rng, 32, 48, 3, "mixed")
+    assert encoder.encode(small)[:1] == b"W"
+    assert encoder.encode(small)[:2] != b"WT"

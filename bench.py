@@ -246,6 +246,12 @@ def _cascade():
         if st.get(name) not in (None, "ok"):
             log(f"bench rung {name}: skipped (selftest {st[name]})")
             continue
+        if name != "xla" and st.get("kdrive") not in (None, "ok"):
+            # The direct kernel drive failed: every Pallas rung shares
+            # kernels A/B, so only the pure-XLA rung is trustworthy.
+            log(f"bench rung {name}: skipped (selftest kdrive "
+                f"{st['kdrive']})")
+            continue
         env = dict(os.environ, DWT_BENCH_INNER="1", DWT_BENCH_RUNG=name,
                    DWT_BENCH_SELFTEST=json.dumps(st), **extra)
         try:

@@ -555,7 +555,11 @@ def _sig_tokens_pallas(lin, stats, pyr: Pyramid, channels: int,
         + scar.reshape(-1)[com["flat_ck"]]
     npair = padded_T // 2
     pairbuf = npair + pc.WTOK_BIG + 256
-    ws = jnp.clip(u_pair0 & ~jnp.int32(127), 0, pairbuf - pc.WTOK_BIG)
+    # The clip's hi bound must itself be 128-aligned: the kernel PROMISES
+    # Mosaic a 128-aligned window start (pl.multiple_of), and a clamped
+    # misaligned value would corrupt the window on hardware.
+    ws = jnp.clip(u_pair0 & ~jnp.int32(127), 0,
+                  (pairbuf - pc.WTOK_BIG) // 128 * 128)
     meta = jnp.stack([
         com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_pair0 - ws,
         zcar.reshape(-1)[com["flat_ck"]],
@@ -942,7 +946,10 @@ def _ref_bits_pallas(words, off_base, vmag, com, stats, pyr: Pyramid,
     u_bit0 = refstart[com["flat_step"]] + rcar.reshape(-1)[com["flat_ck"]]
     nR_u = nR_ck.reshape(-1)[com["flat_ck"]]
     nwords = words.shape[0]
-    ws = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0, nwords - pc.WREF)
+    # Floor-align the clip bound: see _sig_tokens_pallas (the kernel's
+    # pl.multiple_of window promise must hold even when clamped).
+    ws = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0,
+                  (nwords - pc.WREF) // 128 * 128)
     meta = jnp.stack([
         com["elem"] // pc.SUBB, com["elen"], com["p"], ws, u_bit0 - 32 * ws,
         jnp.zeros_like(nR_u),

@@ -91,11 +91,17 @@ WTOK_BIG = E + 256
 # Kernel A placement tiers.  Every row's targets are CONSECUTIVE ranks, so
 # sparse rows use the two-matmul split placement (_place_split: compact to
 # rank-relative positions with a (t, SUBA) one-hot, then shift-merge the
-# dense result with a (t + SUBAL + 8, t) one-hot — construct cost
-# t*(SUBA + t + 136) instead of (t + SUBAL)*SUBA); dense rows keep the
+# dense result with a (_r2(t), t) one-hot — construct cost
+# t*(SUBA + _r2(t)) instead of (t + SUBAL)*SUBA); dense rows keep the
 # direct one-hot, which is cheaper once t^2 rivals SUBAL*SUBA.
 ASPLIT = (4, 16, 64, 128, 256)   # split tiers: cover cnt <= t
-ADIRECT = (576, SUBA + SUBAL)  # direct tiers: cover cnt <= rows - SUBAL
+# Direct tiers cover cnt <= rows - SUBAL.  Rows must be SUBAL multiples:
+# the window-tail clamp base = min(floor128(base0), window - rows) is only
+# 128-lane aligned — a Mosaic requirement the kernel PROMISES via
+# pl.multiple_of — when (window - rows) is itself a multiple of 128.  A
+# misaligned promise is not caught by interpret mode and corrupts the
+# window tail on hardware (the round-2 4K bench failure).
+ADIRECT = (640, SUBA + SUBAL)
 # Kernel B stream-word window; every row's refinement bits are consecutive,
 # touching <= SUBB/32 + 1 words, so B always uses the split placement.
 # Sparse rows (cnt bits spanning <= t words for a BSPLIT tier t) take a
@@ -105,7 +111,14 @@ ADIRECT = (576, SUBA + SUBAL)  # direct tiers: cover cnt <= rows - SUBAL
 WREF = E // 32 + 256
 BSPLIT = (8, 16)  # sparse tiers: t rows cover cnt <= 32t - 31 bits
 B1ROWS = SUBB // 32 + 8
-B2ROWS = B1ROWS + SUBAL + 8
+
+
+def _r2(r1: int) -> int:
+    """Shift-merge window rows for a split placement of span <= r1: r1 for
+    the data + SUBAL for the base misalignment, rounded UP to a SUBAL
+    multiple so the window-tail clamp (limit - r2) stays 128-lane aligned
+    (see ADIRECT comment; limits are SUBAL multiples)."""
+    return -(-(r1 + SUBAL + 8) // SUBAL) * SUBAL
 
 # Per-unit metadata columns (kernel A / kernel B share the layout).
 #   0: element start (flat, 512-aligned)   1: valid element count
@@ -180,6 +193,11 @@ def _onehot_place(scratch, base, rows, tgt, vals, bitcast):
     path is exact there too).
     """
     n = tgt.shape[1]
+    # Callers must pass a TRUE SUBAL-multiple base (clamps against aligned
+    # window - rows values): pl.multiple_of is a promise, not a check — a
+    # false promise corrupts the store on hardware while passing interpret
+    # mode (the round-2 4K bench failure).
+    assert rows % SUBAL == 0, rows
     base = pl.multiple_of(base, SUBAL)
     rel = tgt - base
     oh = (jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0) == rel).astype(jnp.int8)
@@ -199,8 +217,14 @@ def _place_split(scratch, base0, r1, r2, tgt, vals, bitcast, limit):
     target-relative ranks with a (r1, n) one-hot, then shift-merge the
     dense (8, r1) nibble planes into the window with a (r2, r1) one-hot.
     The intermediate nibble sums are < 16, so the s8 second matmul is
-    exact.  r2 must cover r1 + SUBAL misalignment."""
+    exact.  r2 must cover r1 + SUBAL misalignment AND be a SUBAL multiple
+    (use _r2(r1)): limits are SUBAL multiples, so the window-tail clamp
+    below stays truly 128-aligned — pl.multiple_of on a misaligned value
+    corrupts the store on hardware while passing interpret mode (the
+    round-2 4K bench failure: unit windows whose tail rows clamped against
+    the unaligned limit - (r1 + SUBAL + 8))."""
     n = tgt.shape[1]
+    assert r2 % SUBAL == 0 and limit % SUBAL == 0, (r1, r2, limit)
     rel = jnp.where(tgt >= 0, tgt - base0, -1)
     oh1 = (jax.lax.broadcasted_iota(jnp.int32, (r1, n), 0)
            == rel).astype(jnp.int8)
@@ -338,10 +362,13 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
                                 def _(rows=rows, split=split):
                                     if split:
                                         _place_split(
-                                            win, base0, rows,
-                                            rows + SUBAL + 8, tgt, vals,
-                                            False, wtok)
+                                            win, base0, rows, _r2(rows),
+                                            tgt, vals, False, wtok)
                                     else:
+                                        # wtok - rows is a SUBAL multiple
+                                        # (both are), so base stays truly
+                                        # 128-aligned when clamped.
+                                        assert (wtok - rows) % SUBAL == 0
                                         base = jnp.minimum(
                                             (base0 // SUBAL) * SUBAL,
                                             wtok - rows)
@@ -491,7 +518,7 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
 
                             @pl.when(cond)
                             def _(t=t, base0=base0):
-                                _place_split(win, base0, t, t + SUBAL + 8,
+                                _place_split(win, base0, t, _r2(t),
                                              tgt, vals, True, WREF)
 
                             prev = lim

@@ -125,7 +125,13 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
             b8 = jnp.concatenate(
                 [((dense >> (8 * k)) & 0xFF).astype(jnp.int8)
                  for k in range(4)], axis=0)  # (4, T)
-            T2 = T + 136
+            # T2 rounds up to a 128 multiple so the window-tail clamp
+            # (WIN - T2) is truly 128-aligned — pl.multiple_of on a
+            # misaligned value corrupts the store on hardware while
+            # passing interpret mode (never reachable for tame blocks,
+            # but the promise must hold unconditionally).
+            T2 = -(-(T + 136) // 128) * 128
+            assert WIN % 128 == 0
             sub_o = pl.multiple_of(
                 jnp.minimum((base0 // 128) * 128, WIN - T2), 128)
             delta = base0 - sub_o

@@ -31,6 +31,14 @@ import sys
 # Ordered narrow -> broad: each adds kernels on top of the previous, so the
 # FIRST failing config names the guilty kernel group.
 CONFIGS = [
+    # Direct device drive of the compaction kernels with per-row counts at
+    # every tier edge AND output bases at the window TAIL, where the
+    # aligned-clamp placement paths engage.  Small-image encodes cannot
+    # reach those paths (their windows never fill), which is how the
+    # round-2 misaligned-clamp miscompile shipped: interpret mode ignores
+    # pl.multiple_of promises, and only a nearly-full window violates
+    # them.  Runs first: compiles in seconds and names the kernel.
+    ("kdrive", {}),
     # everything off: XLA fallbacks only (also the CI-on-CPU semantics)
     ("xla", {"DWT_NO_PALLAS": "1"}),
     # Pallas pack + compact kernels, VPU rank prefix sums, loop stats,
@@ -46,6 +54,94 @@ CONFIGS = [
 ]
 GATE_KEYS = ["DWT_NO_PALLAS", "DWT_NO_ENGINE", "DWT_NO_MXURANK",
              "DWT_STATS_LOOP"]
+
+
+def _kernel_drive() -> int:
+    """Device drive of kernels A and B at tier edges and window tails.
+
+    Mirrors tests/test_kernel_a_tier_boundaries / test_kernel_b_word_
+    boundaries but runs the REAL Mosaic lowering (interpret=False) and
+    pushes output bases to the window tail so every aligned-clamp path
+    executes on hardware.  numpy is the oracle.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dwt_tpu.ops import pallas_compact as pc
+    from dwt_tpu.runtime import cache
+
+    cache.enable()
+    rng = np.random.default_rng(5)
+    R, N = pc.E // pc.SUBA, pc.SUBA
+    ok = True
+
+    def drive_a(cnts, u0, name):
+        nonlocal ok
+        rows = np.zeros((R, N), np.int64)
+        for r, c in enumerate(cnts):
+            lanes = rng.permutation(N)
+            rows[r, lanes[:c]] = 1
+            k = min(17, N - c)
+            rows[r, lanes[c : c + k]] = 2 + rng.integers(0, 2**28, k)
+        sgn = rng.integers(0, 2, (R, N)).astype(np.int64)
+        packed = np.where(rows > 0, rows | (sgn << 30), rows).astype(np.int32)
+        flat = packed.reshape(-1)
+        mag = flat & pc.MAGMASK
+        mS = (flat >= 0) & (mag == 1)
+        zpfx = np.cumsum(mag == 0) - (mag == 0)
+        nsig = int(mS.sum())
+        buf = pc.WTOK_BIG + 512
+        want = np.zeros(buf, np.int32)
+        ranks = np.cumsum(mS) - mS
+        want[u0 + ranks[mS]] = ((zpfx[mS] << 1) | ((flat[mS] >> 30) & 1))
+        meta = jnp.asarray([[0, R * N, 0, 0, u0, 0, nsig, 0]], jnp.int32)
+        got = np.asarray(pc.compact_tokens_pallas(
+            jnp.asarray(packed), meta, jnp.zeros((1, buf), jnp.int32)))[0]
+        if not np.array_equal(got, want):
+            i = int(np.nonzero(got != want)[0][0])
+            print(f"  kdrive A/{name}: first-diff pair {i}", file=sys.stderr)
+            ok = False
+
+    # Tier-edge counts DESCENDING so the small-count rows land nearest the
+    # window tail — that is where every split tier's clamp engages (the
+    # round-2 corruption: t<=128 split rows within r2 of the window end).
+    edges = [513, 512, 257, 256, 129, 128, 97, 65, 64, 17, 16, 4, 1, 0]
+    # Small window: output region ends at WTOK_SMALL - 88; totals stay
+    # under the small-window threshold (WTOK_SMALL - 192).
+    fill = (pc.WTOK_SMALL - 192 - 128 - sum(edges)) // (R - len(edges))
+    cnts = [fill] * (R - len(edges)) + edges
+    drive_a(cnts, pc.WTOK_SMALL - 88 - sum(cnts), "small-tail")
+    # Big window: dense fill rows push nsig past the small-window
+    # threshold, u0 pushes the same descending tail against WTOK_BIG.
+    cnts = [N] * (R - len(edges)) + edges
+    drive_a(cnts, pc.WTOK_BIG - 88 - sum(cnts), "big-tail")
+
+    # Kernel B: all-refined unit with bit0 high enough that the last rows'
+    # word windows clamp against WREF.
+    RB = pc.E // pc.SUBB
+    rows = 4 + 2 * rng.integers(0, 2**26, (RB, pc.SUBB))
+    rows[0, :777] = 1  # a few non-refined
+    packed = rows.astype(np.int32)
+    flat = packed.reshape(-1)
+    p = 1
+    mag = flat & pc.MAGMASK
+    mR = (flat >= 0) & ((mag >> p) > 1)
+    bit0 = 4095
+    ranks = np.cumsum(mR) - mR
+    nw = pc.WREF + 256
+    want = np.zeros(nw, np.uint32)
+    pos = bit0 + ranks[mR]
+    np.add.at(want, pos >> 5,
+              (((mag[mR] >> p) & 1) << (pos & 31)).astype(np.uint32))
+    meta = jnp.asarray(
+        [[0, RB * pc.SUBB, p, 0, bit0, 0, int(mR.sum()), 0]], jnp.int32)
+    got = np.asarray(pc.scatter_refbits_pallas(
+        jnp.asarray(packed), meta, jnp.zeros((1, nw), jnp.uint32)))[0]
+    if not np.array_equal(got, want):
+        i = int(np.nonzero(got != want)[0][0])
+        print(f"  kdrive B: first-diff word {i}", file=sys.stderr)
+        ok = False
+    return 0 if ok else 1
 
 
 def _child(size: str) -> int:
@@ -86,7 +182,8 @@ def run(size: str = "192x160", configs=None, timeout: int = 3000) -> dict:
         if configs and name not in configs:
             continue
         env = {k: v for k, v in os.environ.items() if k not in GATE_KEYS}
-        env.update(gates, DWT_SELFTEST_CHILD=size)
+        env.update(gates, DWT_SELFTEST_CHILD=(
+            "kdrive" if name == "kdrive" else size))
         try:
             r = subprocess.run(
                 [sys.executable, "-m", "dwt_tpu.selftest"], env=env,
@@ -102,6 +199,8 @@ def run(size: str = "192x160", configs=None, timeout: int = 3000) -> dict:
 
 def main() -> int:
     child = os.environ.get("DWT_SELFTEST_CHILD")
+    if child == "kdrive":
+        return _kernel_drive()
     if child:
         return _child(child)
     size, configs = "192x160", None

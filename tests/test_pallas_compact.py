@@ -22,7 +22,9 @@ def small_kernels(monkeypatch):
     # Pair windows must stay >= the largest direct-tier row count.
     monkeypatch.setattr(pc, "WTOK_SMALL", max(2048, pc.ADIRECT[-1]))
     monkeypatch.setattr(pc, "WTOK_BIG", 2048 + pc.ADIRECT[-1] + 128)
-    monkeypatch.setattr(pc, "WREF", 2048 // 32 + 256)
+    # WREF must stay a SUBAL multiple (the kernels' aligned window-clamp
+    # invariant, asserted in _place_split).
+    monkeypatch.setattr(pc, "WREF", 2048 // 32 + 448)
     monkeypatch.setattr(pc, "INTERPRET", True)
     from dwt_tpu.ops import pallas_hilbert as ph
     from dwt_tpu.ops import pallas_transpose as pt
@@ -70,7 +72,7 @@ def test_stage2_kernels_byte_identical(small_kernels, monkeypatch, kind):
 @pytest.mark.parametrize("big", [False, True])
 def test_kernel_a_tier_boundaries(monkeypatch, big, carry):
     """Direct kernel-A drive with per-row significant counts at the exact
-    split/direct tier edges (16/64/128/256 split, 448/1024 direct) plus
+    split/direct tier edges (16/64/128/256 split, 512/1024 direct) plus
     max-magnitude zpfx values — shapes random images never produce."""
     import jax.numpy as jnp
 
@@ -79,7 +81,7 @@ def test_kernel_a_tier_boundaries(monkeypatch, big, carry):
     monkeypatch.setattr(pc, "INTERPRET", True)
     rng = np.random.default_rng(5)
     R, N = pc.E // pc.SUBA, pc.SUBA
-    cnts = [0, 1, 16, 17, 64, 65, 128, 129, 256, 257, 448, 449, 1023, 1024]
+    cnts = [0, 1, 16, 17, 64, 65, 128, 129, 256, 257, 512, 513, 1023, 1024]
     if big:  # push total nsig past the small-window threshold
         cnts += [1024] * 3 + [512, 300]
     rows = np.zeros((R, N), np.int64)
@@ -114,6 +116,34 @@ def test_kernel_a_tier_boundaries(monkeypatch, big, carry):
     got = np.asarray(pc.compact_tokens_pallas(
         jnp.asarray(flat.reshape(R, N)), meta, tok0, interpret=True))[0]
     assert np.array_equal(got, want)
+
+
+def test_window_clamp_alignment_invariants():
+    """Every window-tail clamp value the kernels can produce must be a true
+    SUBAL multiple: the kernels promise Mosaic 128-lane-aligned dynamic
+    store bases via pl.multiple_of, and a violated promise silently
+    corrupts the window tail ON HARDWARE while interpret mode (all CPU
+    tests) ignores the hint entirely — the round-2 4K bench failure.
+    These are static properties of the production constants; check them
+    here so no retuning can reintroduce the bug."""
+    from dwt_tpu.ops import pallas_compact as pc
+    from dwt_tpu.ops import pallas_pack as pp
+
+    S = pc.SUBAL
+    for wtok in (pc.WTOK_SMALL, pc.WTOK_BIG):
+        assert wtok % S == 0
+        for t in pc.ASPLIT:
+            assert pc._r2(t) % S == 0 and pc._r2(t) >= t + S + 8
+            assert (wtok - pc._r2(t)) % S == 0
+        for rows in pc.ADIRECT:
+            assert rows % S == 0 and (wtok - rows) % S == 0
+    assert pc.WREF % S == 0
+    for t in pc.BSPLIT + (pc.B1ROWS,):
+        assert (pc.WREF - pc._r2(t)) % S == 0
+    # pack kernel: WIN - ceil128(T + 136) aligned for every span tier
+    assert pp.WIN % 128 == 0
+    for T in (72, 264, pp.SUBWIN - 128):
+        assert (pp.WIN - -(-(T + 136) // 128) * 128) % 128 == 0
 
 
 def test_kernel_b_word_boundaries(monkeypatch):

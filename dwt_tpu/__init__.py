@@ -6,11 +6,15 @@ coefficient serialization, bitplane + zero-run + adaptive-VLI entropy
 coding, embedded progressive bitstreams with byte-budget truncation —
 plus tiled multi-chip scaling the reference never had.
 
-The entropy pipeline uses 64-bit integer arithmetic; explicit dtypes are
-used throughout so enabling x64 does not change any numerics.
+The entropy pipeline is int32 end-to-end (64-bit integer ops are emulated
+on TPU — codec/encoder.py:858-866); x64 is enabled only for the few exact
+int64 REDUCTIONS (total stream bits, overflow detection in
+``_check_stream_bits``) that must not wrap.  Every array in the package
+carries an explicit dtype, so the flip changes no numerics here; it is
+process-global, which a downstream embedder can observe as numpy float64
+inputs staying f64 — pin your own dtypes or set jax_enable_x64 back after
+import if that matters to you.
 """
-
-import os as _os
 
 import jax as _jax
 
@@ -18,14 +22,11 @@ _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: CLI invocations are separate processes; the
 # first run of a given image geometry compiles, every later process reuses
-# the compiled executable from disk.
-_cache_dir = _os.environ.get("DWT_TPU_CACHE", _os.path.expanduser("~/.cache/dwt_tpu/jax"))
-if _cache_dir != "0":
-    # Partition by requested platform: CPU test runs and TPU runs must not
-    # share AOT artifacts (different machine features).
-    _plat = _os.environ.get("JAX_PLATFORMS", "default") or "default"
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.path.join(_cache_dir, _plat.replace(",", "_")))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the compiled executable from disk.  One directory for ALL entry points
+# (runtime/cache.py) — XLA's cache keys include the backend, so CPU test
+# artifacts and TPU artifacts coexist.
+from .runtime import cache as _cache
+
+_cache.enable()
 
 __version__ = "0.1.0"

@@ -32,6 +32,19 @@ def main(argv=None) -> int:
     from .runtime import cache
 
     cache.enable()
+    # Honor an explicit JAX_PLATFORMS request: TPU plugins (e.g. the axon
+    # sitecustomize) force-pin the platform at backend init, overriding the
+    # env var — re-pin through the config the way tests/conftest.py and
+    # __graft_entry__.py do, so `JAX_PLATFORMS=cpu python -m dwt_tpu.cli`
+    # really runs on CPU.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; env pin already applied
     trace_dir = os.environ.get("DWT_TRACE")
     if trace_dir:
         from .utils.trace import device_trace
@@ -83,7 +96,11 @@ def _run(mode: str, args: list) -> int:
         else:
             with open(args[1], "wb") as f:
                 f.write(stream)
-        print(f"{info['payload_bits']} payload bits "
+        # Reference-style stage counters (encode.c:176,180,230): meta and
+        # root bits separately, then the total (which includes both).
+        print(f"{info['meta_bits']} bits for meta data", file=sys.stderr)
+        print(f"{info['root_bits']} bits for root image", file=sys.stderr)
+        print(f"{info['payload_bits'] + info['meta_bits']} bits "
               f"({(len(stream)+512)//1024} KiB) encoded; "
               f"planes={info['planes']} levels={info['levels']} "
               f"{info['mps']:.2f} MP/s", file=sys.stderr)

@@ -974,7 +974,12 @@ def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
     DUMPW = words.shape[0] - 1
 
     def body(p, words):
-        maskR = (q > p) & valid
+        # Step validity matters beyond the element mask only for the
+        # budget-truncated schedule (_truncate_schedule): elements of a
+        # masked-out step still satisfy q > p and must not be written (their
+        # refstart values are collapsed/meaningless there).
+        vstep = segs.bcast(stats["valid"][:, :, p].astype(jnp.int32)) > 0
+        maskR = (q > p) & valid & vstep
         kr = segs.excl_cumsum(maskR.astype(jnp.int32))
         start = segs.bcast(refstart[:, :, p])
         bitpos = start + kr
@@ -1020,6 +1025,77 @@ def _stage2_pipeline(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
         words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
     layer_ends = _layer_boundaries(stats, off, total_bits, pyr, C)
     return words, total_bits, layer_ends
+
+
+def _truncate_schedule(sh: dict, capacity: int, pyr: Pyramid, channels: int):
+    """Budget-bounded work (bytes.h:75-78 as *work skipping*, not just
+    output slicing): given host copies of the stage-1 stats, mask every
+    schedule step that provably starts at or beyond ``capacity`` bytes and
+    shrink the token count accordingly.  The emitted bits below the budget
+    are untouched (every included token keeps its full-encode rank, VLI
+    order and bit offset — prefix property), so ``stream[:capacity]`` is
+    byte-identical to slicing the full encode, while deep truncation runs
+    stage 2 over a small fraction of the tokens.
+
+    Inclusion uses per-step LOWER bounds on bit cost (run VLI >= 1 bit +
+    sign bit per significant pair, >= 1 bit per ref-run token, exactly 1
+    bit per refinement bit, exact root-band bits): true bits >= bound, so
+    a step whose bounded start reaches the budget truly starts past it.
+
+    Returns a dict of replacement stats leaves (numpy), or None when the
+    whole schedule might be needed (encode falls back to the full path).
+    """
+    cap_bits = capacity * 8
+    order = sh["order"]
+    valid_s = sh["valid_sched"]
+    nS_s = sh["nS_sched"].astype(np.int64)
+    base_s = sh["base_sched"]
+    S = order.size
+    C, L = channels, pyr.levels
+    nref_flat = np.where(sh["valid"].reshape(-1), sh["nRef"].reshape(-1), 0)
+    nref_s = nref_flat[order].astype(np.int64)
+    rro_s = sh["refrun_ok"].reshape(-1)[order] & valid_s
+    lb_s = 2 * nS_s + rro_s.astype(np.int64) + nref_s
+    pre = _root_bits_host(sh, pyr.pixels[0]) + C  # + C 1-bit plane VLIs
+    start_lb = pre + np.cumsum(lb_s) - lb_s
+    include = start_lb < cap_bits
+    if include.all():
+        return None
+    k = int(np.nonzero(include)[0][-1]) if include.any() else -1
+    T_old = int(sh["T"])
+    T_new = int(base_s[k + 1]) + 1 if k + 1 < S else T_old
+    if T_new >= T_old:
+        return None
+    excl = np.zeros(S, bool)
+    excl[k + 1:] = True
+    shape = (C, L, PMAX)
+    valid_new = sh["valid"].reshape(-1).copy()
+    valid_new[order[excl]] = False
+    rro_new = sh["refrun_ok"].reshape(-1).copy()
+    rro_new[order[excl]] = False
+    inj_new = sh["inj_pos"].reshape(-1).copy()
+    if k >= 0:
+        # The last included step injects its refinement bits at the flush
+        # slot, exactly as the full schedule's final step does.
+        inj_new[order[k]] = T_new - 1
+    vs_new = valid_s.copy()
+    vs_new[k + 1:] = False
+    ns_new = sh["nS_sched"].copy()
+    ns_new[k + 1:] = 0
+    return dict(
+        valid=valid_new.reshape(shape),
+        refrun_ok=rro_new.reshape(shape),
+        inj_pos=inj_new.reshape(shape).astype(np.int32),
+        valid_sched=vs_new,
+        nS_sched=ns_new.astype(np.int32),
+        T=np.int32(T_new),
+        nref_total=np.int64(nref_s[: k + 1].sum()),
+    )
+
+
+_TRUNC_STATS_KEYS = ("order", "valid_sched", "nS_sched", "base_sched",
+                     "valid", "nRef", "refrun_ok", "inj_pos", "T",
+                     "root_cnt", "root_base", "planes_base")
 
 
 # ---------------------------------------------------------------------------
@@ -1130,6 +1206,16 @@ class Encoder:
         lin, stats = self._stage1(jnp.asarray(img), self._perm)
         T = int(stats["T"])
         _check_planes(int(stats["planes_max"]))
+        if capacity > 0:
+            # Budget-bounded work: mask schedule steps past the byte budget
+            # BEFORE stage 2 so deep truncation skips the coding work the
+            # reference's put_byte cap would never perform (encode.c:192-216).
+            host = jax.device_get({k: stats[k] for k in _TRUNC_STATS_KEYS})
+            upd = _truncate_schedule(host, capacity, self.pyr, self.channels)
+            if upd is not None:
+                stats = {**stats,
+                         **{k: jnp.asarray(v) for k, v in upd.items()}}
+                T = int(upd["T"])
         words, total_bits, layer_ends = self._get_stage2(_bucket(T))(lin, stats)
         total_bits = _check_stream_bits(int(total_bits))
         nbytes = (total_bits + 7) // 8
@@ -1154,6 +1240,10 @@ class Encoder:
         info = {
             "tokens": T,
             "payload_bits": total_bits,
+            # Reference-style stage counters (encode.c:176,180): header
+            # bytes and root-band coding bits, separately.
+            "meta_bits": 8 * len(self.header()),
+            "root_bits": _root_bits_host(stats, self.pyr.pixels[0]),
             "bytes": len(stream),
             "planes": np.asarray(stats["planes"]).tolist(),
             "levels": self.pyr.levels,
@@ -1162,6 +1252,35 @@ class Encoder:
             "mps": self.pyr.total / 1e6 / dt,
         }
         return stream, info
+
+
+def _root_bits_host(stats, pix0: int) -> int:
+    """Exact bit count of the root-band coding (encode.c:97-110, the
+    reference's "bits for root image" stderr counter) from stage-1 stats,
+    replayed on host: per channel one VLI(cnt) through the shared adaptive
+    order chain (which starts at 0 — root tokens are the stream's first),
+    then cnt raw magnitude bits per coefficient + one sign bit per nonzero.
+    """
+    root_cnt = np.asarray(stats["root_cnt"])
+    root_base = np.asarray(stats["root_base"])
+    planes_base = int(stats["planes_base"])
+    C = root_cnt.shape[0]
+    ends = np.concatenate([root_base[1:], [planes_base]])
+    bits = 0
+    s = 0
+    for c in range(C):
+        v, cnt = int(root_cnt[c]), int(root_cnt[c])
+        k = max(_ilog2_host(v + (1 << s)) - s, 0)
+        bits += 2 * k + s + 1
+        s = min(max(s + k - 2, 0), NSTATE - 1)
+        if cnt > 0:
+            nnz = int(ends[c] - root_base[c]) - 1 - pix0
+            bits += pix0 * cnt + nnz
+    return bits
+
+
+def _ilog2_host(x: int) -> int:
+    return x.bit_length() - 1
 
 
 @functools.lru_cache(maxsize=64)

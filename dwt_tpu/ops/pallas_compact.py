@@ -409,10 +409,10 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
         num_scalar_prefetch=1,
         grid=(U,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
@@ -545,10 +545,10 @@ def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
         num_scalar_prefetch=1,
         grid=(U,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
             pltpu.VMEM((E // SUBB, SUBB), jnp.int32),

@@ -195,9 +195,9 @@ def pack_words_pallas(widx, c0, c1, c2, nwords: int,
         in_specs=[
             pl.BlockSpec((1, BLOCKN), lambda b, ws: (0, b)),
             pl.BlockSpec((1, 3 * BLOCKN), lambda b, ws: (0, b)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((1, WIN), jnp.uint32),
             pltpu.SemaphoreType.DMA,

@@ -8,26 +8,54 @@ warm-up cost is paid once per machine, not once per process.  (The
 reference has no analog: a C codec compiles ahead of time; this is the
 JAX/XLA equivalent of shipping a prebuilt binary.)
 
-Enabled by every entry point (bench.py, cli.py, __graft_entry__, tests).
-``DWT_NO_COMPILE_CACHE=1`` disables; ``JAX_COMPILATION_CACHE_DIR`` (or an
-explicit argument) overrides the location.
+Enabled once at package import (dwt_tpu/__init__.py) and re-invoked
+(idempotently) by the entry points.  ONE directory rule serves every
+process — tests, CLI, bench, entry — so they share warm entries:
+``~/.cache/dwt_tpu/jax/<platform>``, partitioned by the requested
+JAX_PLATFORMS (CPU test artifacts and TPU artifacts never collide, and a
+home-directory cache survives repo-level clean/clone operations that a
+repo-local directory would not).  ``DWT_NO_COMPILE_CACHE=1`` disables;
+``DWT_TPU_CACHE`` or ``JAX_COMPILATION_CACHE_DIR`` (or an explicit
+argument) overrides the location.
 """
 
 from __future__ import annotations
 
 import os
 
-_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+def _default() -> str:
+    plat = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    tag = plat.replace(",", "_")
+    if "cpu" in plat:
+        # XLA:CPU AOT artifacts bake in the compile host's ISA features and
+        # the cache key does NOT include them — loading another machine's
+        # entry warns "could lead to ... SIGILL".  Partition the CPU cache
+        # by a fingerprint of the host's feature flags.
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        h = hashlib.sha1(line.encode()).hexdigest()[:8]
+                        tag = f"{tag}-{h}"
+                        break
+        except OSError:
+            pass
+    return os.path.join(os.path.expanduser("~"), ".cache", "dwt_tpu", "jax",
+                        tag)
 
 
 def enable(path: str | None = None) -> str | None:
     """Idempotently point JAX's persistent compilation cache at ``path``
-    (default: <repo>/.jax_cache, overridable via JAX_COMPILATION_CACHE_DIR).
-    Returns the directory in use, or None when disabled."""
+    (default: ~/.cache/dwt_tpu/jax/<platform>, overridable via
+    DWT_TPU_CACHE / JAX_COMPILATION_CACHE_DIR).  Returns the directory in
+    use, or None when disabled."""
     if os.environ.get("DWT_NO_COMPILE_CACHE") == "1":
         return None
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT
+    path = (path or os.environ.get("DWT_TPU_CACHE")
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _default())
     try:
         os.makedirs(path, exist_ok=True)
         import jax

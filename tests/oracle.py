@@ -53,6 +53,19 @@ def ref_encode(pnm: bytes, capacity: int = 0) -> bytes:
         return outp.read_bytes()
 
 
+def ref_encode_stderr(pnm: bytes, capacity: int = 0) -> str:
+    """Run reference encoder; returns its stderr text (the stage bit
+    counters of encode.c:176,180,230)."""
+    with tempfile.TemporaryDirectory() as d:
+        inp, outp = Path(d) / "in.pnm", Path(d) / "out.dwt"
+        inp.write_bytes(pnm)
+        args = [str(encode_bin()), str(inp), str(outp)]
+        if capacity:
+            args.append(str(capacity))
+        res = subprocess.run(args, check=True, capture_output=True, text=True)
+        return res.stderr
+
+
 def ref_decode(dwt: bytes, pixels: int = 0) -> bytes:
     """Run reference decoder; returns PNM bytes."""
     with tempfile.TemporaryDirectory() as d:

@@ -77,3 +77,63 @@ def test_plane_stats_hist_equals_loop(rng, w, h, c, kind, monkeypatch):
     for name, g, w_ in zip(names, got, want):
         g, w_ = np.asarray(g), np.asarray(w_)
         assert np.array_equal(g[..., :pmi], w_[..., :pmi]), name
+
+
+def test_stage_bit_counters_match_reference(rng):
+    """meta/root stderr counters (encode.c:176,180) replayed host-side."""
+    import oracle
+
+    if not oracle.available():
+        pytest.skip("reference not present")
+    from dwt_tpu.io.pnm import pnm_bytes
+
+    for w, h, c in ((96, 80, 3), (64, 64, 1)):
+        img = random_image(rng, w, h, c, "mixed")
+        enc = encoder.get_encoder(w, h, c)
+        _, info = enc.encode_with_stats(img)
+        err = oracle.ref_encode_stderr(pnm_bytes(img))
+        import re
+
+        meta = int(re.search(r"(\d+) bits for meta data", err).group(1))
+        root = int(re.search(r"(\d+) bits for root image", err).group(1))
+        total = int(re.search(r"(\d+) bits \(", err).group(1))
+        assert info["meta_bits"] == meta
+        assert info["root_bits"] == root
+        assert info["payload_bits"] + info["meta_bits"] == total
+
+
+def test_budget_bounded_encode_prefix_exact(rng):
+    """Budget-bounded work skipping (_truncate_schedule) must emit exactly
+    the prefix of the full stream at EVERY budget class: mid-root, single
+    layer, mid-schedule, near-full — and also vs the reference C encoder's
+    own capacity mechanism (bytes.h:75-78)."""
+    import oracle
+
+    img = random_image(rng, 160, 128, 3, "mixed")
+    full = encoder.encode(img)
+    enc = encoder.get_encoder(160, 128, 3)
+    for cap in (7, 20, 100, 400, 1500, len(full) // 2, len(full) - 3,
+                len(full) + 50):
+        got = enc.encode(img, capacity=cap)
+        assert got == full[:cap], f"capacity={cap}"
+    if oracle.available():
+        from dwt_tpu.io.pnm import pnm_bytes
+
+        cap = max(len(full) // 3, 8)
+        assert enc.encode(img, capacity=cap) == \
+            oracle.ref_encode(pnm_bytes(img), capacity=cap)
+
+
+def test_budget_bounded_skips_work(rng):
+    """Deep truncation must code a small fraction of the full token count
+    (the point of budget-bounding: ~O(budget) entropy work)."""
+    img = random_image(rng, 320, 240, 3, "mixed")
+    enc = encoder.get_encoder(320, 240, 3)
+    full, info_full = enc.encode_with_stats(img)
+    host = {k: __import__("jax").device_get(v) for k, v in
+            enc._stage1(__import__("jax").numpy.asarray(img),
+                        enc._perm)[1].items()}
+    upd = encoder._truncate_schedule(
+        {k: host[k] for k in encoder._TRUNC_STATS_KEYS}, 2000, enc.pyr, 3)
+    assert upd is not None
+    assert int(upd["T"]) < int(host["T"]) // 4

@@ -302,3 +302,20 @@ def test_hilbert_engines_gray():
     mask = np.zeros(H * W, bool)
     mask[lperm[pyr.pixels[0]:]] = True
     assert np.array_equal(back.reshape(-1, 1)[mask], co.reshape(-1, 1)[mask])
+
+
+def test_stage2_kernels_budget_truncated(small_kernels, monkeypatch):
+    """Budget-bounded schedule truncation through the REAL kernel path
+    (interpret mode): masked-out steps must not write tokens or ref bits,
+    and the emitted prefix must equal slicing the full stream."""
+    from dwt_tpu.codec import encoder
+
+    rng = np.random.default_rng(23)
+    img = random_image(rng, 64, 48, 3, "mixed")
+    monkeypatch.setattr(encoder, "_use_pallas", lambda: True)
+    monkeypatch.setattr(encoder, "_use_pallas_pack", lambda t: True)
+    enc = encoder.Encoder(64, 48, 3)
+    full = enc.encode(img)
+    for cap in (10, 60, 300, len(full) * 2 // 3):
+        got = enc.encode(img, capacity=cap)
+        assert got == full[:cap], f"capacity={cap}"

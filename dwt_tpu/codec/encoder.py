@@ -1290,26 +1290,64 @@ def get_encoder(width: int, height: int, channels: int) -> Encoder:
 
 # Coefficient-count ceiling for a single .dwt stream on one chip: beyond
 # this the stream's int32 bit offsets (and HBM working set) can overflow,
-# so encode() transparently routes to the tiled .dwtt container instead —
-# preserving the reference's 65536x65536 format envelope (encode.c:140)
-# behind one API.  Tests shrink it to exercise the route.
+# so encode() routes to the tiled .dwtt container instead — preserving the
+# reference's 65536x65536 format envelope (encode.c:140) behind one API.
+# The reroute is EXPLICIT: a one-time warning names it (a .dwtt container
+# is not readable by the reference decoder; pass container=False to
+# require a single stream and get a hard error instead, or use
+# get_encoder().encode() directly).  Tests shrink the ceiling to exercise
+# the route.
 SINGLE_STREAM_MAX_COEFFS = 1 << 27
 
+_warned_container = False
 
-def encode(img: np.ndarray, gray: bool | None = None, capacity: int = 0) -> bytes:
+
+def _warn_container(reason: str):
+    global _warned_container
+    if not _warned_container:
+        import warnings
+
+        warnings.warn(
+            f"dwt_tpu.encode: {reason}; writing a tiled .dwtt container "
+            "instead of a single .dwt stream (dwt_tpu decodes it "
+            "transparently; the reference C decoder cannot).  Pass "
+            "container=False to force a single stream.",
+            UserWarning, stacklevel=3)
+        _warned_container = True
+
+
+def encode(img: np.ndarray, gray: bool | None = None, capacity: int = 0,
+           container: bool | None = None) -> bytes:
+    """Encode to a .dwt stream (or .dwtt container for oversized images).
+
+    ``container``: None (default) auto-routes images beyond the
+    single-stream envelope to the tiled container with a one-time warning;
+    True forces the container; False forbids it (raises instead).
+    """
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
+    if container:
+        from . import tiled
+
+        return tiled.encode_tiled(img, budget=capacity)
     if h * w * c > SINGLE_STREAM_MAX_COEFFS:
+        if container is False:
+            raise ValueError(
+                f"{w}x{h}x{c} exceeds the single-stream envelope "
+                f"({SINGLE_STREAM_MAX_COEFFS} coefficients); use the tiled "
+                "container (container=True / encode_tiled)")
+        _warn_container(f"{w}x{h}x{c} exceeds the single-stream envelope")
         from . import tiled
 
         return tiled.encode_tiled(img, budget=capacity)
     try:
         return get_encoder(w, h, c).encode(img, capacity)
     except ValueError as e:
-        if "2^31 bits" not in str(e):
+        if "2^31 bits" not in str(e) or container is False:
             raise
+        _warn_container("stream exceeds 2^31 bits")
         from . import tiled
 
         return tiled.encode_tiled(img, budget=capacity)

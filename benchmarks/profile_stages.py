@@ -95,6 +95,29 @@ timed("B: refinement bits",
           words, ob, vmag, com, stats, pyr, C, padded_T),
       words, off_base, vmag, stats)
 
+# st2 is the split two-jit pipeline; time it as the host composition with
+# a scalar-only sync (wrapping it in another jit would inline the halves
+# back into the old monolith and recompile it).
 st2 = enc._get_stage2(padded_T)
-timed("stage2 fused", lambda lin, stats: st2(lin, stats), lin, stats)
-timed("FULL pipeline", lambda im: st2(*enc._stage1(im, enc._perm)), img_dev)
+_c = jax.jit(lambda w, tb: (jnp.sum(w, dtype=jnp.uint32), tb))
+
+
+def _full(lin, stats):
+    w, tb, _ = st2(lin, stats)
+    return _c(w, tb)
+
+
+def timed_host(name, fn, *args):
+    for o in fn(*args):
+        int(o)  # warm/compile
+    t0 = time.time()
+    outs = [fn(*args) for _ in range(N)]
+    for tup in outs:
+        for o in tup:
+            int(o)
+    print(f"{name:28s} {(time.time()-t0)/N*1e3:8.1f} ms", file=sys.stderr)
+
+
+timed_host("stage2 (split pipeline)", _full, lin, stats)
+timed_host("FULL pipeline",
+           lambda im: _full(*enc._stage1(im, enc._perm)), img_dev)

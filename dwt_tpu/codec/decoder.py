@@ -81,14 +81,17 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
         # coeffs: (C, total>=n_out) int32 signed; missing: (C, 16)
         lin = coeffs[:, :n_out]
         # Midpoint bias for planes lost to truncation: push nonzero detail
-        # coefficients away from zero by 2^(missing-2).
-        m = jnp.take_along_axis(
-            missing,
-            jnp.broadcast_to(jnp.clip(lvl_of, 0, 15)[None, :], (C, n_out)),
-            axis=1,
-        ) - 2  # (C, n_out)
-        bias = jnp.where((m >= 0) & (lvl_of[None, :] >= 0),
-                         jnp.left_shift(1, jnp.clip(m, 0, 30)), 0).astype(jnp.int32)
+        # coefficients away from zero by 2^(missing-2) (decode.c:50-58).
+        # The 16-entry `missing` table expands via one compare-select per
+        # level instead of a 25M-index take_along_axis (XLA gather costs
+        # ~8 ns/index on TPU — it was the single largest inverse-tail op).
+        bias_l = jnp.where(
+            missing >= 2,
+            jnp.left_shift(1, jnp.clip(missing - 2, 0, 30)), 0
+        ).astype(jnp.int32)  # (C, 16) per-level bias magnitude
+        bias = jnp.zeros((C, n_out), jnp.int32)
+        for l in range(out_levels):
+            bias = jnp.where(lvl_of[None, :] == l, bias_l[:, l : l + 1], bias)
         lin = lin + jnp.sign(lin) * bias
         if use_engine:
             x = hilbert_scatter_pallas(lin, plan, outH, outW, C)

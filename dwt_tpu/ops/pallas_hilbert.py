@@ -22,9 +22,15 @@ root_pad + sum(padded segment sizes)), root band written by the caller
 (it is a raster crop — dense, no gather).  Replaces reference
 encode.c:46-57 (per-coefficient hilbert.h walk).
 
-Mosaic notes: tile flattens are (256, 32) -> (8, 1024) sublane-to-lane
-reshapes; deinterleave/permute matmuls are exact per byte plane
-(s8 x s8 -> s32, (acc & 0xFF) << 8k recombine).
+Mosaic notes: deinterleave/permute matmuls are exact per byte plane
+(s8 x s8 -> s32, (acc & 0xFF) << 8k recombine).  Tile flattens were
+(256, 32) -> (8, 1024) sublane-to-lane reshapes until the 2026-08 Mosaic
+builds started rejecting shape casts whose source lane dim is not a
+128-multiple ("infer-vector-layout: unsupported shape cast"); they are now
+built from supported primitives only — per-row lane offsets via 5
+bit-masked uniform `pltpu.roll`s, then a byte-plane selector matmul folds
+each tile's 32 rows into one 1024-lane row (_flatten_tiles /
+_expand_tiles).
 """
 
 from __future__ import annotations
@@ -44,34 +50,82 @@ G = 8            # clean tiles per batch (one MXU permute per byte plane)
 _SUPPORTED: bool | None = None
 
 
+def _flatten_tiles(x, G: int):
+    """(G*TS, TS) int32 tile stack -> (G, TSQ), row g = tile g in raster
+    order.  Built from ops the current Mosaic supports (it rejects
+    sublane->lane shape casts from 32-lane sources): pad lanes to TSQ,
+    give row 32g+r a lane offset of 32*r via 5 bit-masked uniform rolls
+    (32*(i mod 32) decomposes over the low 5 sublane-index bits), then
+    fold each tile's 32 rows with a byte-plane selector matmul — every
+    output lane receives exactly ONE addend, so sign-extended s8 byte
+    planes recombine exactly for full int32."""
+    y = jnp.concatenate([x, jnp.zeros((G * TS, TSQ - TS), jnp.int32)],
+                        axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (G * TS, 1), 0)
+    for b in range(5):
+        rolled = pltpu.roll(y, TS << b, 1)
+        y = jnp.where((row & (1 << b)) != 0, rolled, y)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (G, G * TS), 1) // TS
+           == jax.lax.broadcasted_iota(jnp.int32, (G, G * TS), 0)
+           ).astype(jnp.int8)
+    out = jnp.zeros((G, TSQ), jnp.int32)
+    for p in range(4):
+        plane = ((y >> (8 * p)) & 0xFF).astype(jnp.int8)
+        acc = jax.lax.dot_general(sel, plane, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        out = out | ((acc & 0xFF) << (8 * p))
+    return out
+
+
+def _expand_tiles(x, G: int):
+    """(G, TSQ) -> (G*TS, TS): inverse of :func:`_flatten_tiles`.
+    Broadcast each tile row to its 32 sublanes via the transposed
+    selector (byte planes, one addend per output element), then undo the
+    per-row lane offsets with negative rolls and keep lanes [0, TS)."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (G * TS, G), 0) // TS
+           == jax.lax.broadcasted_iota(jnp.int32, (G * TS, G), 1)
+           ).astype(jnp.int8)
+    y = jnp.zeros((G * TS, TSQ), jnp.int32)
+    for p in range(4):
+        plane = ((x >> (8 * p)) & 0xFF).astype(jnp.int8)
+        acc = jax.lax.dot_general(sel, plane, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = y | ((acc & 0xFF) << (8 * p))
+    row = jax.lax.broadcasted_iota(jnp.int32, (G * TS, 1), 0)
+    for b in range(5):
+        # left-roll by TS<<b == right-roll by TSQ - (TS<<b) (pltpu.roll
+        # rejects negative shifts)
+        rolled = pltpu.roll(y, TSQ - (TS << b), 1)
+        y = jnp.where((row & (1 << b)) != 0, rolled, y)
+    return y[:, :TS]
+
+
 def engine_supported() -> bool:
     """One-time micro-probe of the op classes these engines lean on that
-    the rest of the codebase does not (in-kernel sublane->lane reshape +
-    byte-plane s8 matmul).  If the current Mosaic build rejects them, the
-    callers fall back to XLA gathers — a runtime perf regression, not a
-    crash — and a one-time warning names the degradation (VERDICT r3
-    weak #8: silent fallbacks hide production slowdowns)."""
+    the rest of the codebase does not (bit-masked lane rolls + byte-plane
+    selector matmuls — the tile flatten).  If the current Mosaic build
+    rejects them, the callers fall back to XLA gathers — a runtime perf
+    regression, not a crash — and a one-time warning names the
+    degradation (VERDICT r3 weak #8: silent fallbacks hide production
+    slowdowns)."""
     global _SUPPORTED
     if INTERPRET:
         return True
     if _SUPPORTED is None:
         try:
             def k(x_ref, o_ref):
-                v = x_ref[:, :].reshape(1, TSQ)
-                oh = (jax.lax.broadcasted_iota(jnp.int32, (8, TSQ), 0)
-                      == (v & 7)).astype(jnp.int8)
-                b = (v & 0xF).astype(jnp.int32).astype(jnp.int8)
-                o_ref[:, :] = jax.lax.dot_general(
-                    b, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                o_ref[:, :] = _flatten_tiles(x_ref[:, :], 1)
 
-            out = pl.pallas_call(
-                k,
-                out_shape=jax.ShapeDtypeStruct((1, 8), jnp.int32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            )(jnp.ones((TS, TS), jnp.int32))
-            _SUPPORTED = bool(int(out.sum()) == TSQ)
+            with jax.enable_x64(False):  # x64 literals break Mosaic tracing
+                out = pl.pallas_call(
+                    k,
+                    out_shape=jax.ShapeDtypeStruct((1, TSQ), jnp.int32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(jnp.arange(TSQ, dtype=jnp.int32).reshape(TS, TS))
+            _SUPPORTED = bool(
+                np.array_equal(np.asarray(out).reshape(-1),
+                               np.arange(TSQ, dtype=np.int32)))
         except Exception:  # noqa: BLE001 — any lowering failure disables
             _SUPPORTED = False
         if not _SUPPORTED:
@@ -124,7 +178,7 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
     def load_tiles():
         cps = []
         for g in range(G):
-            y0 = meta_ref[MB * b + 2 + 3 * g + 0]
+            y0 = pl.multiple_of(meta_ref[MB * b + 2 + 3 * g + 0], 8)
             x0 = meta_ref[MB * b + 2 + 3 * g + 1]
             cp = pltpu.make_async_copy(
                 co.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)],
@@ -146,7 +200,7 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
         oh = (jax.lax.broadcasted_iota(jnp.int32, (TSQ, TSQ), 0)
               == sbuf[0:1, :]).astype(jnp.int8)
         for c in range(C):
-            flat = dei[:, TS * c : TS * (c + 1)].reshape(G, TSQ)
+            flat = _flatten_tiles(dei[:, TS * c : TS * (c + 1)], G)
             out = _perm_bytes(flat, oh)
             obuf[pl.ds(G * c, G), :] = out
         cps = []
@@ -164,7 +218,7 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
     @pl.when((b >= nbat) & (b < nbat + npart))
     def _():
         t = b - nbat
-        y0 = meta_ref[MB * b + 2 + 0]
+        y0 = pl.multiple_of(meta_ref[MB * b + 2 + 0], 8)
         x0 = meta_ref[MB * b + 2 + 1]
         off = meta_ref[MB * b + 2 + 2]
         cp_t = pltpu.make_async_copy(
@@ -196,7 +250,7 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
         for cp in cps_r:
             cp.wait()
         for c in range(C):
-            flat = dei[0:TS, TS * c : TS * (c + 1)].reshape(1, TSQ)
+            flat = _flatten_tiles(dei[0:TS, TS * c : TS * (c + 1)], 1)
             out = _perm_bytes(flat, oh)
             old = obuf[pl.ds(G * c, 1), :]
             obuf[pl.ds(G * c, 1), :] = jnp.where(lane < sh + k,
@@ -355,12 +409,12 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
         blocks = []
         for c in range(C):
             img_flat = _perm_bytes_t(obuf[pl.ds(G * c, G), :], oh)
-            blocks.append(img_flat.reshape(G * TS, TS))
+            blocks.append(_expand_tiles(img_flat, G))
         sq = _int(jnp.concatenate(blocks, axis=1), C)  # (G*TS, TS*C)
         vbuf[:, :] = sq
         cps = []
         for g in range(G):
-            y0 = meta_ref[MB * b + 2 + 3 * g + 0]
+            y0 = pl.multiple_of(meta_ref[MB * b + 2 + 3 * g + 0], 8)
             x0 = meta_ref[MB * b + 2 + 3 * g + 1]
             cp = pltpu.make_async_copy(
                 vbuf.at[pl.ds(TS * g, TS), :],
@@ -373,7 +427,7 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
     @pl.when((b >= nbat) & (b < nbat + npart))
     def _():
         t = b - nbat
-        y0 = meta_ref[MB * b + 2 + 0]
+        y0 = pl.multiple_of(meta_ref[MB * b + 2 + 0], 8)
         x0 = meta_ref[MB * b + 2 + 1]
         off = meta_ref[MB * b + 2 + 2]
         cp_s = pltpu.make_async_copy(psrc_ref.at[pl.ds(t, 1), :],
@@ -403,10 +457,11 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
             jnp.ones((1, TSQ), jnp.int8), oh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)  # (1, TSQ)
         blocks, owns = [], []
+        own_sq = _expand_tiles(own, 1)
         for c in range(C):
             img_flat = _perm_bytes_t(obuf[pl.ds(G * c, 1), :], oh)
-            blocks.append(img_flat.reshape(TS, TS))
-            owns.append(own.reshape(TS, TS))
+            blocks.append(_expand_tiles(img_flat, 1))
+            owns.append(own_sq)
         sq = _int(jnp.concatenate(blocks, axis=1), C)
         ow = _int(jnp.concatenate(owns, axis=1), C)
         old = vbuf[0:TS, :]

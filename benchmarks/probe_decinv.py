@@ -38,14 +38,15 @@ N = 5
 
 
 def bench(name, fn, *args):
-    fn(*args)[1].block_until_ready() if isinstance(fn(*args), tuple) else None
-    outs = [fn(*args) for _ in range(N)]
+    for _ in range(2):  # compile + warm, fully synced before timing
+        o = fn(*args)
+        (o[0] if isinstance(o, tuple) else o).block_until_ready()
     t0 = time.time()
     outs = [fn(*args) for _ in range(N)]
     for o in outs:
         (o[0] if isinstance(o, tuple) else o).block_until_ready()
     dt = (time.time() - t0) / N
-    print(f"{name:34s} {dt*1e3:8.1f} ms")
+    print(f"{name:34s} {dt*1e3:8.1f} ms", flush=True)
     return dt
 
 

@@ -94,6 +94,35 @@ def reconstruction_perm(pyr: Pyramid) -> np.ndarray:
     return inv
 
 
+TS_RUN = 32  # tile side of the run decomposition (= pallas_hilbert.TS)
+
+
+def _level_runs(pyr: Pyramid, l: int, ts: int = TS_RUN):
+    """Aligned ts*ts-curve-position runs of level l's detail band.
+
+    Yields (y0, x0, ys, xs, km) per nonempty run: (y0, x0) the enclosing
+    ts x ts square's corner, (ys, xs) the run's full curve coordinates and
+    ``km`` the kept-mask (inside level image, outside previous level).
+    For levels whose Hilbert grid is smaller than ts, one pseudo-run at
+    the origin covers the whole level.
+    """
+    tsq = ts * ts
+    n = pyr.lengths[l + 1]
+    x, y = hilbert_xy(n)
+    keep = ((x < pyr.widths[l + 1]) & (y < pyr.heights[l + 1])
+            & ((x >= pyr.widths[l]) | (y >= pyr.heights[l])))
+    if n < ts:
+        yield 0, 0, y, x, keep
+        return
+    for m in range(n * n // tsq):
+        km = keep[m * tsq : (m + 1) * tsq]
+        if not km.any():
+            continue
+        xs = x[m * tsq : (m + 1) * tsq]
+        ys = y[m * tsq : (m + 1) * tsq]
+        yield (int(ys[0]) & ~(ts - 1), int(xs[0]) & ~(ts - 1), ys, xs, km)
+
+
 @functools.lru_cache(maxsize=None)
 def padded_layout(pyr: Pyramid, align: int = 512) -> tuple:
     """Lane-aligned scan-order layout for the TPU entropy pipeline.
@@ -105,25 +134,55 @@ def padded_layout(pyr: Pyramid, align: int = 512) -> tuple:
     ~100x throughput cliff on TPU).  Pad slots gather image index 0 and are
     masked out of every mask/cumsum, so the produced bitstream is unchanged.
 
+    When ``align >= TS_RUN**2`` (the Pallas tile engines' run size), the
+    layout is additionally *tile-padded*: every aligned run of 1024 curve
+    positions occupies a full 1024-slot window (thinned runs pad their
+    tail).  Every run offset is then 1024-aligned, which the 2026-08
+    Mosaic's DMA legality rules require of the gather engine's destination
+    windows — and partial runs own their windows exclusively, so the
+    engine needs no read-modify-write merges.  Interior pads are masked
+    exactly like segment-tail pads; the bitstream is unchanged.
+
     Returns (perm, valid, seg_sizes_padded) where perm/valid have length
     root_pad + sum(padded detail sizes); seg_sizes_padded[0] is the padded
     root size.
     """
-    perm = linearization_perm(pyr)
+    W = pyr.width
+    tsq = TS_RUN * TS_RUN
+    tile_pad = align >= tsq
     parts_idx, parts_valid, sizes = [], [], []
-    # segment 0 = root band [0, pixels[0]); segment l+1 = level-l details.
-    segs = [(0, pyr.pixels[0])] + [
-        (pyr.pixels[l], pyr.pixels[l + 1]) for l in range(pyr.levels)
-    ]
-    for a, b in segs:
-        n = b - a
+
+    def close_segment(seg_idx, seg_valid):
+        n = sum(len(p) for p in seg_idx)
         pad = (-n) % align
-        parts_idx.append(perm[a:b])
-        parts_idx.append(np.zeros(pad, np.int32))
-        v = np.zeros(n + pad, bool)
-        v[:n] = True
-        parts_valid.append(v)
+        seg_idx.append(np.zeros(pad, np.int32))
+        seg_valid.append(np.zeros(pad, bool))
+        parts_idx.extend(seg_idx)
+        parts_valid.extend(seg_valid)
         sizes.append(n + pad)
+
+    # Root band: raster crop, contiguous.
+    w0, h0 = pyr.widths[0], pyr.heights[0]
+    yy, xx = np.mgrid[0:h0, 0:w0]
+    close_segment([(yy * W + xx).reshape(-1).astype(np.int32)],
+                  [np.ones(h0 * w0, bool)])
+
+    perm = linearization_perm(pyr)
+    if not tile_pad:
+        for l in range(pyr.levels):
+            a, b = pyr.pixels[l], pyr.pixels[l + 1]
+            close_segment([perm[a:b]], [np.ones(b - a, bool)])
+    else:
+        for l in range(pyr.levels):
+            seg_idx, seg_valid = [], []
+            for y0, x0, ys, xs, km in _level_runs(pyr, l):
+                k = int(km.sum())
+                idx = (ys[km].astype(np.int64) * W + xs[km]).astype(np.int32)
+                seg_idx += [idx, np.zeros(tsq - k, np.int32)]
+                v = np.zeros(tsq, bool)
+                v[:k] = True
+                seg_valid.append(v)
+            close_segment(seg_idx, seg_valid)
     return (np.concatenate(parts_idx), np.concatenate(parts_valid),
             tuple(sizes))
 
@@ -151,36 +210,17 @@ def tile_plan(pyr: Pyramid, align: int = 512, ts: int = 32) -> dict:
       Tiles are in lin order within each class.  Root band is raster
       (a dense crop) and is not part of the plan.
     """
-    W, H = pyr.width, pyr.height
     tsq = ts * ts
+    tile_pad = align >= tsq  # matches padded_layout's tile-padded mode
     _, _, sizes_p = padded_layout(pyr, align)
     seg_start = np.cumsum([0] + list(sizes_p))  # root, then detail levels
     patterns: list[np.ndarray] = []
     pat_key: dict[bytes, int] = {}
     clean, partial, partial_src = [], [], []
     for l in range(pyr.levels):
-        n = pyr.lengths[l + 1]
-        x, y = hilbert_xy(n)
-        keep = ((x < pyr.widths[l + 1]) & (y < pyr.heights[l + 1])
-                & ((x >= pyr.widths[l]) | (y >= pyr.heights[l])))
-        if n < ts:
-            # Whole level fits one partial window at the origin.
-            k = keep.sum()
-            srcs = np.full(tsq, 1 << 30, np.int32)
-            srcs[:k] = (y[keep] * ts + x[keep]).astype(np.int32)
-            partial.append((0, 0, int(seg_start[l + 1])))
-            partial_src.append(srcs)
-            continue
-        kcum = np.concatenate([[0], np.cumsum(keep)])
-        for m in range(n * n // tsq):
-            k = int(kcum[(m + 1) * tsq] - kcum[m * tsq])
-            if k == 0:
-                continue
-            xs = x[m * tsq : (m + 1) * tsq]
-            ys = y[m * tsq : (m + 1) * tsq]
-            x0 = int(xs[0]) & ~(ts - 1)
-            y0 = int(ys[0]) & ~(ts - 1)
-            off = int(seg_start[l + 1] + kcum[m * tsq])
+        off = int(seg_start[l + 1])
+        for y0, x0, ys, xs, km in _level_runs(pyr, l, ts):
+            k = int(km.sum())
             if k == tsq:
                 srcs = ((ys - y0) * ts + (xs - x0)).astype(np.int32)
                 key = srcs[:8].tobytes()
@@ -191,15 +231,17 @@ def tile_plan(pyr: Pyramid, align: int = 512, ts: int = 32) -> dict:
                     patterns.append(srcs)
                 clean.append((y0, x0, pid, off))
             else:
-                # Clamp the DMA window inside the image for edge tiles.
-                yd = min(y0, H - ts)
-                xd = min(x0, W - ts)
-                km = keep[m * tsq : (m + 1) * tsq]
+                # Edge tiles keep their 32-aligned window: the engine
+                # wrappers zero-pad the image to 32-multiples, so the DMA
+                # stays in bounds WITHOUT clamping — a clamped corner like
+                # y = H - ts breaks the kernel's 8-aligned sublane-offset
+                # promise and miscompiles on the 2026-08 Mosaic.
                 srcs = np.full(tsq, 1 << 30, np.int32)
-                srcs[:k] = ((ys[km] - yd) * ts + (xs[km] - xd)).astype(
+                srcs[:k] = ((ys[km] - y0) * ts + (xs[km] - x0)).astype(
                     np.int32)
-                partial.append((yd, xd, off))
+                partial.append((y0, x0, off))
                 partial_src.append(srcs)
+            off += tsq if tile_pad else k
     return dict(
         patterns=np.asarray(patterns, np.int32).reshape(-1, tsq),
         clean=np.asarray(clean, np.int32).reshape(-1, 4),

@@ -13,9 +13,13 @@ it.  This engine exploits the gather's static structure instead
     (1024, 1024) matmul per byte plane — MXU work, no per-index cost;
   * per partial tile (image-crop / previous-level-exclusion thinned,
     ~5% at 4K): the same pipeline with the one-hot built from the tile's
-    source list, merged into the output by read-modify-write (the
-    sequential grid serializes overlapping windows, and lanes >= kept
-    preserve the previous contents, so any suffix overlap is safe).
+    source list.  The TILE-PADDED layout (hilbert.padded_layout with
+    align >= 1024) gives every run an exclusive 1024-aligned window, so
+    partial writes are plain aligned DMAs — no read-modify-write, and
+    every destination offset satisfies the 2026-08 Mosaic's 128-aligned
+    memref_slice rule *truthfully* (a false pl.multiple_of promise
+    miscompiles silently: the round-2 clamp bug and the round-4
+    64-misaligned clean-run bug were both exactly that).
 
 Output is the padded scan-order layout of hilbert.padded_layout: (C,
 root_pad + sum(padded segment sizes)), root band written by the caller
@@ -168,9 +172,22 @@ def _deint(v32, C):
     return _perm_bytes(v32, d)
 
 
+CP = 4    # channel slots in the padded image layout: TS*CP == 128 lanes,
+#           so every image-tile DMA window is exactly one (32, 128) block —
+#           the 2026-08 Mosaic requires memref_slice sizes AND offsets to
+#           be (8, 128)-tile aligned (1-row memrefs with 128-aligned lane
+#           windows remain legal, which the lin/psrc/pats flat layouts use)
+PW = 2048  # lane window for arbitrary-offset lin reads/writes (pow2 for
+#           cheap modular roll); covers TSQ + up to 128 misalignment
+
+
 def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
-                   vbuf, obuf, sbuf, sem_t, sem_p, sem_s, sem_o, *, C,
-                   nbat, npart, nlin):
+                   vbuf, obuf, sbuf, sem_t, sem_p, sem_s, sem_o, *,
+                   C, nbat, npart, npad):
+    """co: (H32, W*CP) padded image; lin: (1, C*npad) flat channel-major
+    scan buffer in the TILE-PADDED layout (every run offset 1024-aligned,
+    partial runs own their window exclusively — see hilbert.padded_layout);
+    psrc/pats: (1, n*TSQ) flat row tables."""
     del lin_in  # aliased with lin_out
     b = pl.program_id(0)
     MB = 2 + 3 * G  # meta words per grid step: kind/pid, pad, G*(y,x,off)
@@ -179,9 +196,10 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
         cps = []
         for g in range(G):
             y0 = pl.multiple_of(meta_ref[MB * b + 2 + 3 * g + 0], 8)
-            x0 = meta_ref[MB * b + 2 + 3 * g + 1]
+            x0 = pl.multiple_of(
+                meta_ref[MB * b + 2 + 3 * g + 1] * CP, TS * CP)
             cp = pltpu.make_async_copy(
-                co.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)],
+                co.at[pl.ds(y0, TS), pl.ds(x0, TS * CP)],
                 vbuf.at[pl.ds(TS * g, TS), :], sem_t)
             cp.start()
             cps.append(cp)
@@ -192,24 +210,28 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
     def _():
         pid = meta_ref[MB * b + 0]
         load_tiles()
-        cp_p = pltpu.make_async_copy(pats.at[pl.ds(pid, 1), :], sbuf, sem_p)
+        cp_p = pltpu.make_async_copy(
+            pats.at[:, pl.ds(pid * TSQ, TSQ)], sbuf, sem_p)
         cp_p.start()
-        dei = _deint(vbuf[:, :], C)  # (G*TS, C*TS) channel blocks
+        dei = _deint(vbuf[:, :], CP)  # (G*TS, CP*TS) channel blocks
         cp_p.wait()
         # One-hot: oh[src_lane, rank] = 1.
         oh = (jax.lax.broadcasted_iota(jnp.int32, (TSQ, TSQ), 0)
               == sbuf[0:1, :]).astype(jnp.int8)
         for c in range(C):
             flat = _flatten_tiles(dei[:, TS * c : TS * (c + 1)], G)
-            out = _perm_bytes(flat, oh)
-            obuf[pl.ds(G * c, G), :] = out
+            out = _perm_bytes(flat, oh)  # (G, TSQ)
+            obuf[:, pl.ds(c * G * TSQ, G * TSQ)] = out.reshape(1, G * TSQ)
         cps = []
         for g in range(G):
-            off = meta_ref[MB * b + 2 + 3 * g + 2]
+            # clean runs are 1024-aligned; dump slots (nlin) only 128 —
+            # promise the weaker true bound (a false multiple_of promise
+            # is the round-2 hardware-corruption bug class)
+            off = pl.multiple_of(meta_ref[MB * b + 2 + 3 * g + 2], 128)
             for c in range(C):
                 cp = pltpu.make_async_copy(
-                    obuf.at[pl.ds(G * c + g, 1), :],
-                    lin_out.at[pl.ds(c, 1), pl.ds(off, TSQ)], sem_o)
+                    obuf.at[:, pl.ds((c * G + g) * TSQ, TSQ)],
+                    lin_out.at[:, pl.ds(c * npad + off, TSQ)], sem_o)
                 cp.start()
                 cps.append(cp)
         for cp in cps:
@@ -219,50 +241,31 @@ def _gather_kernel(meta_ref, psrc_ref, co, pats, lin_in, lin_out,
     def _():
         t = b - nbat
         y0 = pl.multiple_of(meta_ref[MB * b + 2 + 0], 8)
-        x0 = meta_ref[MB * b + 2 + 1]
-        off = meta_ref[MB * b + 2 + 2]
+        x0 = pl.multiple_of(meta_ref[MB * b + 2 + 1] * CP, TS * CP)
+        # Tile-padded layout: the run owns [off, off+TSQ) exclusively and
+        # off is 1024-aligned; ranks >= k land in masked pad slots (the
+        # no-source one-hot columns produce 0 there).
+        off = pl.multiple_of(meta_ref[MB * b + 2 + 2], 128)
         cp_t = pltpu.make_async_copy(
-            co.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)],
+            co.at[pl.ds(y0, TS), pl.ds(x0, TS * CP)],
             vbuf.at[pl.ds(0, TS), :], sem_t)
-        cp_s = pltpu.make_async_copy(psrc_ref.at[pl.ds(t, 1), :],
-                                     sbuf.at[pl.ds(0, 1), :], sem_s)
-        # Read the existing window: lanes beyond this tile's kept count
-        # must be preserved (suffix overlaps with neighbouring tiles).
-        offc = jnp.minimum(off, nlin - TSQ)
-        cps_r = []
-        for c in range(C):
-            cp = pltpu.make_async_copy(
-                lin_out.at[pl.ds(c, 1), pl.ds(offc, TSQ)],
-                obuf.at[pl.ds(G * c, 1), :], sem_o)
-            cp.start()
-            cps_r.append(cp)
+        cp_s = pltpu.make_async_copy(psrc_ref.at[:, pl.ds(t * TSQ, TSQ)],
+                                     sbuf, sem_s)
         cp_t.start()
         cp_s.start()
         cp_t.wait()
         cp_s.wait()
         srcs = sbuf[0:1, :]  # (1, TSQ); 2^30 marks no-source ranks
-        k = jnp.sum((srcs < TSQ).astype(jnp.int32), axis=1)[0]
-        dei = _deint(vbuf[pl.ds(0, TS), :], C)
+        dei = _deint(vbuf[pl.ds(0, TS), :], CP)
         oh = (jax.lax.broadcasted_iota(jnp.int32, (TSQ, TSQ), 0)
               == srcs).astype(jnp.int8)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TSQ), 1)
-        sh = off - offc
-        for cp in cps_r:
-            cp.wait()
-        for c in range(C):
-            flat = _flatten_tiles(dei[0:TS, TS * c : TS * (c + 1)], 1)
-            out = _perm_bytes(flat, oh)
-            old = obuf[pl.ds(G * c, 1), :]
-            obuf[pl.ds(G * c, 1), :] = jnp.where(lane < sh + k,
-                                                 jnp.where(lane >= sh,
-                                                           out, old), old)
-        # Shifted merge only matters when off was clamped at the buffer
-        # tail; sh is 0 otherwise.  Write back.
         cps_w = []
         for c in range(C):
+            flat = _flatten_tiles(dei[0:TS, TS * c : TS * (c + 1)], 1)
+            obuf[:, pl.ds(c * G * TSQ, TSQ)] = _perm_bytes(flat, oh)
             cp = pltpu.make_async_copy(
-                obuf.at[pl.ds(G * c, 1), :],
-                lin_out.at[pl.ds(c, 1), pl.ds(offc, TSQ)], sem_o)
+                obuf.at[:, pl.ds(c * G * TSQ, TSQ)],
+                lin_out.at[:, pl.ds(c * npad + off, TSQ)], sem_o)
             cp.start()
             cps_w.append(cp)
         for cp in cps_w:
@@ -310,7 +313,17 @@ def hilbert_gather_pallas(co, plan, nlin, channels: int,
         row += [0] * (MB - len(row))
         rows.append(row)
     npart = len(part)
+    # The engine requires the tile-padded layout (hilbert.padded_layout
+    # with align >= TSQ): every run offset 1024-aligned, windows exclusive.
+    if len(clean):
+        assert int(clean[:, 3].min() % TSQ) == 0 and \
+            int(clean[:, 3].max() % TSQ) == 0, "plan is not tile-padded"
+    if len(part):
+        assert int(part[:, 2].min() % TSQ) == 0 and \
+            int(part[:, 2].max() % TSQ) == 0, "plan is not tile-padded"
+    # Slack past nlin: dummy-group dump targets (TSQ each).
     nlin_pad = nlin + TSQ * (G + 1)
+    assert nlin_pad % 128 == 0, nlin_pad
     if not rows:
         return jnp.zeros((C, nlin), jnp.int32)
     meta = np.asarray(rows, np.int32).reshape(-1)
@@ -323,15 +336,15 @@ def hilbert_gather_pallas(co, plan, nlin, channels: int,
         num_scalar_prefetch=1,
         grid=(nbat + npart,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # partial_src
-            pl.BlockSpec(memory_space=pl.ANY),  # co
-            pl.BlockSpec(memory_space=pl.ANY),  # patterns
+            pl.BlockSpec(memory_space=pl.ANY),  # partial_src (flat)
+            pl.BlockSpec(memory_space=pl.ANY),  # co (channel-padded)
+            pl.BlockSpec(memory_space=pl.ANY),  # patterns (flat)
             pl.BlockSpec(memory_space=pl.ANY),  # lin_in (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((G * TS, TS * C), jnp.int32),
-            pltpu.VMEM((G * C, TSQ), jnp.int32),
+            pltpu.VMEM((G * TS, TS * CP), jnp.int32),
+            pltpu.VMEM((1, G * C * TSQ), jnp.int32),
             pltpu.VMEM((1, TSQ), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -342,21 +355,28 @@ def hilbert_gather_pallas(co, plan, nlin, channels: int,
     import functools
 
     kern = functools.partial(_gather_kernel, C=C, nbat=nbat, npart=npart,
-                             nlin=nlin_pad)
-    lin0 = jnp.zeros((C, nlin_pad), jnp.int32)
+                             npad=nlin_pad)
+    lin0 = jnp.zeros((1, C * nlin_pad), jnp.int32)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, nlin_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, C * nlin_pad), jnp.int32),
         input_output_aliases={4: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
-    co2 = co.reshape(H, W * C)
+    # Channel-pad to CP slots and row/col-pad to 32-multiples so every
+    # tile DMA is one (32, 128) aligned block (edge tiles of
+    # non-32-multiple geometries read into the zero padding).
+    H32 = -(-H // TS) * TS
+    W32 = -(-W // TS) * TS
+    co4 = jnp.zeros((H32, W32, CP), jnp.int32).at[:H, :W, :C].set(co)
     with jax.enable_x64(False):
-        out = call(jnp.asarray(meta), jnp.asarray(psrc.reshape(-1, TSQ)),
-                   co2, jnp.asarray(pats.reshape(-1, TSQ)), lin0)
-    return out[:, :nlin]
+        out = call(jnp.asarray(meta),
+                   jnp.asarray(psrc.reshape(1, -1)),
+                   co4.reshape(H32, W32 * CP),
+                   jnp.asarray(pats.reshape(1, -1)), lin0)
+    return out.reshape(C, nlin_pad)[:, :nlin]
 
 
 def _int(v32, C):
@@ -378,9 +398,31 @@ def _perm_bytes_t(v32, oh):
         for b in _bytes8(v32)])
 
 
+def _read_run(lin, pbuf, sec, c, off, npad, sem):
+    """Start the aligned PW-window DMA for the TSQ-run of channel c at
+    arbitrary element offset `off` into pbuf section `sec`; returns
+    (copy, delta)."""
+    offc = pl.multiple_of(jnp.minimum((off // 128) * 128, npad - PW), 128)
+    cp = pltpu.make_async_copy(
+        lin.at[:, pl.ds(c * npad + offc, PW)],
+        pbuf.at[:, pl.ds(sec * PW, PW)], sem)
+    return cp, off - offc
+
+
+def _run_from_pbuf(pbuf, sec, delta):
+    """(1, TSQ) run extracted from pbuf section `sec`: roll the window
+    left by delta (== right by PW - delta, modular) and keep [0, TSQ)."""
+    win = pbuf[:, pl.ds(sec * PW, PW)]
+    rolled = pltpu.roll(win, (PW - delta) & (PW - 1), 1)
+    return rolled[:, :TSQ]
+
+
 def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
-                    vbuf, obuf, sbuf, sem_t, sem_p, sem_s, sem_o, *, C,
-                    nbat, npart, H, W):
+                    vbuf, obuf, sbuf, pbuf, sem_t, sem_p, sem_s, sem_o, *,
+                    C, nbat, npart, npad):
+    """lin: (1, C*npad) flat channel-major scan buffer (decoder layout:
+    run offsets are arbitrary element ranks, read via aligned PW windows);
+    co: (H32, W32*CP) channel-padded image buffer."""
     del co_in  # aliased with co_out
     b = pl.program_id(0)
     MB = 2 + 3 * G
@@ -388,19 +430,23 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
     @pl.when(b < nbat)
     def _():
         pid = meta_ref[MB * b + 0]
-        cp_p = pltpu.make_async_copy(pats.at[pl.ds(pid, 1), :], sbuf, sem_p)
+        cp_p = pltpu.make_async_copy(
+            pats.at[:, pl.ds(pid * TSQ, TSQ)], sbuf, sem_p)
         cp_p.start()
-        cps = []
+        # All G*C run windows DMA concurrently into disjoint pbuf
+        # sections, then extract (roll + slice) into obuf's flat layout.
+        pend = []
         for g in range(G):
             off = meta_ref[MB * b + 2 + 3 * g + 2]
             for c in range(C):
-                cp = pltpu.make_async_copy(
-                    lin.at[pl.ds(c, 1), pl.ds(off, TSQ)],
-                    obuf.at[pl.ds(G * c + g, 1), :], sem_t)
+                cp, d = _read_run(lin, pbuf, g * C + c, c, off, npad,
+                                  sem_t)
                 cp.start()
-                cps.append(cp)
-        for cp in cps:
+                pend.append((cp, d, g, c))
+        for cp, d, g, c in pend:
             cp.wait()
+            obuf[:, pl.ds((c * G + g) * TSQ, TSQ)] = \
+                _run_from_pbuf(pbuf, g * C + c, d)
         cp_p.wait()
         # Forward one-hot oh[lane, rank]; the inverse applies via a
         # rank-axis contraction (_perm_bytes_t) — no transpose relayout.
@@ -408,17 +454,21 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
               == sbuf[0:1, :]).astype(jnp.int8)
         blocks = []
         for c in range(C):
-            img_flat = _perm_bytes_t(obuf[pl.ds(G * c, G), :], oh)
+            rows = obuf[:, pl.ds(c * G * TSQ, G * TSQ)].reshape(G, TSQ)
+            img_flat = _perm_bytes_t(rows, oh)
             blocks.append(_expand_tiles(img_flat, G))
-        sq = _int(jnp.concatenate(blocks, axis=1), C)  # (G*TS, TS*C)
+        for _ in range(CP - C):
+            blocks.append(jnp.zeros((G * TS, TS), jnp.int32))
+        sq = _int(jnp.concatenate(blocks, axis=1), CP)  # (G*TS, TS*CP)
         vbuf[:, :] = sq
         cps = []
         for g in range(G):
             y0 = pl.multiple_of(meta_ref[MB * b + 2 + 3 * g + 0], 8)
-            x0 = meta_ref[MB * b + 2 + 3 * g + 1]
+            x0 = pl.multiple_of(
+                meta_ref[MB * b + 2 + 3 * g + 1] * CP, TS * CP)
             cp = pltpu.make_async_copy(
                 vbuf.at[pl.ds(TS * g, TS), :],
-                co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)], sem_o)
+                co_out.at[pl.ds(y0, TS), pl.ds(x0, TS * CP)], sem_o)
             cp.start()
             cps.append(cp)
         for cp in cps:
@@ -428,24 +478,24 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
     def _():
         t = b - nbat
         y0 = pl.multiple_of(meta_ref[MB * b + 2 + 0], 8)
-        x0 = meta_ref[MB * b + 2 + 1]
+        x0 = pl.multiple_of(meta_ref[MB * b + 2 + 1] * CP, TS * CP)
         off = meta_ref[MB * b + 2 + 2]
-        cp_s = pltpu.make_async_copy(psrc_ref.at[pl.ds(t, 1), :],
-                                     sbuf.at[pl.ds(0, 1), :], sem_s)
+        cp_s = pltpu.make_async_copy(psrc_ref.at[:, pl.ds(t * TSQ, TSQ)],
+                                     sbuf, sem_s)
         cp_r = pltpu.make_async_copy(
-            co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)],
+            co_out.at[pl.ds(y0, TS), pl.ds(x0, TS * CP)],
             vbuf.at[pl.ds(0, TS), :], sem_o)
-        cps = []
+        deltas = []
         for c in range(C):
-            cp = pltpu.make_async_copy(
-                lin.at[pl.ds(c, 1), pl.ds(off, TSQ)],
-                obuf.at[pl.ds(G * c, 1), :], sem_t)
+            cp, d = _read_run(lin, pbuf, c, c, off, npad, sem_t)
             cp.start()
-            cps.append(cp)
+            deltas.append((cp, d))
         cp_s.start()
         cp_r.start()
-        for cp in cps:
+        runs = []
+        for c, (cp, d) in enumerate(deltas):
             cp.wait()
+            runs.append(_run_from_pbuf(pbuf, c, d))
         cp_s.wait()
         cp_r.wait()
         srcs = sbuf[0:1, :]
@@ -459,16 +509,19 @@ def _scatter_kernel(meta_ref, psrc_ref, lin, pats, co_in, co_out,
         blocks, owns = [], []
         own_sq = _expand_tiles(own, 1)
         for c in range(C):
-            img_flat = _perm_bytes_t(obuf[pl.ds(G * c, 1), :], oh)
+            img_flat = _perm_bytes_t(runs[c], oh)
             blocks.append(_expand_tiles(img_flat, 1))
             owns.append(own_sq)
-        sq = _int(jnp.concatenate(blocks, axis=1), C)
-        ow = _int(jnp.concatenate(owns, axis=1), C)
+        for _ in range(CP - C):
+            blocks.append(jnp.zeros((TS, TS), jnp.int32))
+            owns.append(jnp.zeros((TS, TS), jnp.int32))
+        sq = _int(jnp.concatenate(blocks, axis=1), CP)
+        ow = _int(jnp.concatenate(owns, axis=1), CP)
         old = vbuf[0:TS, :]
         vbuf[pl.ds(0, TS), :] = jnp.where(ow > 0, sq, old)
         cp_w = pltpu.make_async_copy(
             vbuf.at[pl.ds(0, TS), :],
-            co_out.at[pl.ds(y0, TS), pl.ds(x0 * C, TS * C)], sem_o)
+            co_out.at[pl.ds(y0, TS), pl.ds(x0, TS * CP)], sem_o)
         cp_w.start()
         cp_w.wait()
 
@@ -518,9 +571,11 @@ def hilbert_scatter_pallas(lin, plan, H, W, channels: int,
         psrc = np.full((1, TSQ), 1 << 30, np.int32)
     if len(pats) == 0:
         pats = np.zeros((1, TSQ), np.int32)
-    # lin needs TSQ slack past its end (partial offsets near the tail read
-    # a full window).
-    linp = jnp.pad(lin.astype(jnp.int32), ((0, 0), (0, TSQ)))
+    # Flat channel-major lin with enough slack that every PW read window
+    # stays 128-aligned in bounds with delta < 128.
+    npad = (-(-nlin // 128) * 128) + PW
+    linp = jnp.pad(lin.astype(jnp.int32),
+                   ((0, 0), (0, npad - nlin))).reshape(1, C * npad)
 
     import functools
 
@@ -535,9 +590,10 @@ def hilbert_scatter_pallas(lin, plan, H, W, channels: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((G * TS, TS * C), jnp.int32),
-            pltpu.VMEM((G * C, TSQ), jnp.int32),
+            pltpu.VMEM((G * TS, TS * CP), jnp.int32),
+            pltpu.VMEM((1, G * C * TSQ), jnp.int32),
             pltpu.VMEM((1, TSQ), jnp.int32),
+            pltpu.VMEM((1, G * C * PW), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -545,17 +601,19 @@ def hilbert_scatter_pallas(lin, plan, H, W, channels: int,
         ],
     )
     kern = functools.partial(_scatter_kernel, C=C, nbat=nbat, npart=npart,
-                             H=H, W=W)
-    co0 = jnp.zeros((H, W * C), jnp.int32)
+                             npad=npad)
+    H32 = -(-H // TS) * TS
+    W32 = -(-W // TS) * TS
+    co0 = jnp.zeros((H32, W32 * CP), jnp.int32)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W * C), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((H32, W32 * CP), jnp.int32),
         input_output_aliases={4: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     with jax.enable_x64(False):
-        out = call(jnp.asarray(meta), jnp.asarray(psrc.reshape(-1, TSQ)),
-                   linp, jnp.asarray(pats.reshape(-1, TSQ)), co0)
-    return out.reshape(H, W, C)
+        out = call(jnp.asarray(meta), jnp.asarray(psrc.reshape(1, -1)),
+                   linp, jnp.asarray(pats.reshape(1, -1)), co0)
+    return out.reshape(H32, W32, CP)[:H, :W, :C]

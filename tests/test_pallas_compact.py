@@ -319,3 +319,40 @@ def test_stage2_kernels_budget_truncated(small_kernels, monkeypatch):
     for cap in (10, 60, 300, len(full) * 2 // 3):
         got = enc.encode(img, capacity=cap)
         assert got == full[:cap], f"capacity={cap}"
+
+
+def test_flatten_expand_tiles_roundtrip(monkeypatch):
+    """The roll+selector tile flatten (the 2026-08 Mosaic replacement for
+    sublane->lane shape casts) must be an exact reshape and an exact
+    inverse for full-range int32, at G=8 and G=1."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dwt_tpu.ops import pallas_hilbert as ph
+
+    rng = np.random.default_rng(5)
+    for G in (8, 1):
+        x = rng.integers(-2**31, 2**31, (G * ph.TS, ph.TS),
+                         dtype=np.int64).astype(np.int32)
+
+        def kf(x_ref, o_ref, G=G):
+            o_ref[:, :] = ph._flatten_tiles(x_ref[:, :], G)
+
+        flat = pl.pallas_call(
+            kf, out_shape=jax.ShapeDtypeStruct((G, ph.TSQ), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True)(jnp.asarray(x))
+        assert np.array_equal(np.asarray(flat), x.reshape(G, ph.TSQ))
+
+        def ke(x_ref, o_ref, G=G):
+            o_ref[:, :] = ph._expand_tiles(x_ref[:, :], G)
+
+        back = pl.pallas_call(
+            ke, out_shape=jax.ShapeDtypeStruct((G * ph.TS, ph.TS), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True)(flat)
+        assert np.array_equal(np.asarray(back), x)

@@ -1198,6 +1198,9 @@ class Encoder:
         self.pyr = compute_pyramid(width, height)
         self.channels = channels
         self.gray = channels == 1
+        _use_engine()  # prime the eager engine micro-probe BEFORE any jit
+        # trace calls it (during tracing the probe cannot run and the
+        # engines would silently stay off for that program)
         perm_np, _, _ = padded_layout(self.pyr, ALIGN)
         self._perm = jax.device_put(jnp.asarray(perm_np))
         pyr, C, gray = self.pyr, channels, self.gray

@@ -52,6 +52,9 @@ class BatchEncoder:
         self.pyr = compute_pyramid(width, height)
         self.channels = channels
         self.gray = channels == 1
+        from .encoder import _use_engine
+
+        _use_engine()  # prime the eager engine probe before jit tracing
         self._perm = jax.device_put(jnp.asarray(padded_layout(self.pyr, ALIGN)[0]))
         pyr, C, gray = self.pyr, channels, self.gray
 

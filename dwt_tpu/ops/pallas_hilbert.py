@@ -116,6 +116,15 @@ def engine_supported() -> bool:
     if INTERPRET:
         return True
     if _SUPPORTED is None:
+        from jax._src import core as _core
+
+        if not _core.trace_state_clean():
+            # Called during a jit trace before any eager priming: the
+            # probe's output would be a tracer and np.asarray would raise,
+            # mis-caching False forever.  Decline (engine off for THIS
+            # trace) without caching; callers prime eagerly at
+            # construction time (codec.encoder.Encoder.__init__).
+            return False
         try:
             def k(x_ref, o_ref):
                 o_ref[:, :] = _flatten_tiles(x_ref[:, :], 1)

@@ -39,8 +39,13 @@ def parse_header(stream: bytes) -> tuple:
 
 
 @functools.lru_cache(maxsize=256)
-def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool):
-    """Jitted inverse pipeline for one (geometry, decoded-level) combination."""
+def _tail_fn(width: int, height: int, out_levels: int, channels: int,
+             gray: bool, engine: bool | None = None):
+    """Jitted inverse pipeline for one (geometry, decoded-level) combination.
+
+    ``engine=False`` forces the XLA gather tail — required when the result
+    is vmapped (_tail_batch_fn): the Pallas scatter engine's ANY-space
+    blocks cannot take a leading batch dimension."""
     pyr = compute_pyramid(width, height)
     outW, outH = pyr.widths[out_levels], pyr.heights[out_levels]
     n_out = pyr.pixels[out_levels]
@@ -71,7 +76,8 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
     # Inverse Hilbert scatter: the Pallas tile engine on TPU (constant
     # one-hot MXU matmuls over the decoder's unpadded scan layout), one
     # XLA gather elsewhere.
-    use_engine = _use_engine() and min(outH, outW) >= 32
+    use_engine = (_use_engine() if engine is None else engine) \
+        and min(outH, outW) >= 32
     plan = tile_plan(sub_pyr, 1) if use_engine else None
     inv_perm = jnp.asarray(reconstruction_perm(sub_pyr))
     lvl_of = jnp.asarray(level_of_position(pyr)[:n_out])
@@ -112,7 +118,7 @@ def _tail_fn(width: int, height: int, out_levels: int, channels: int, gray: bool
 def _tail_batch_fn(width: int, height: int, out_levels: int, channels: int,
                    gray: bool):
     """vmapped inverse pipeline for a batch of same-geometry tiles."""
-    tail = _tail_fn(width, height, out_levels, channels, gray)
+    tail = _tail_fn(width, height, out_levels, channels, gray, engine=False)
     return jax.jit(jax.vmap(tail))
 
 

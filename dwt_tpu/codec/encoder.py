@@ -309,24 +309,30 @@ def _plane_stats_loop(q, valid, segs: _Segs, C: int, L: int, planes_max):
         (zero_clp, zero_clp, zero_clp, zero_ckp, zero_ckp))
 
 
-def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm):
+def _transform_and_stats(img, pyr: Pyramid, channels: int, gray: bool, perm,
+                         engine: bool | None = None):
     data = img.astype(jnp.int32)
     if not gray:
         data = rgb_to_ycocg(data)
     coeff = dwt2d_fwd(data, pyr)
-    return _stats_from_lin(_linearize(coeff, perm, pyr, channels),
+    return _stats_from_lin(_linearize(coeff, perm, pyr, channels, engine),
                            pyr, channels)
 
 
-def _linearize(coeff, perm, pyr: Pyramid, channels: int):
+def _linearize(coeff, perm, pyr: Pyramid, channels: int,
+               engine: bool | None = None):
     """(H, W, C) coefficients -> (C, padded) scan-order layout.
 
     On TPU the static permutation runs as the Pallas tile engine
     (ops/pallas_hilbert.py: constant one-hot MXU matmuls per 32x32 tile —
     XLA's gather costs ~8 ns/index regardless of locality); the root band
     is a dense raster crop.  Elsewhere: one XLA gather over the padded
-    perm."""
-    if _use_engine() and min(pyr.height, pyr.width) >= 32:
+    perm.  ``engine=False`` forces the XLA path — REQUIRED under vmap
+    (batched encode): pallas_call blocks in ANY memory space cannot take a
+    leading batch dimension."""
+    if engine is None:
+        engine = _use_engine()
+    if engine and min(pyr.height, pyr.width) >= 32:
         from ..hilbert import tile_plan
         from ..ops.pallas_hilbert import hilbert_gather_pallas
 

@@ -61,7 +61,8 @@ class BatchEncoder:
         @jax.jit
         def stage1(imgs, perm):
             return jax.vmap(
-                lambda im: _transform_and_stats(im, pyr, C, gray, perm)
+                lambda im: _transform_and_stats(im, pyr, C, gray, perm,
+                                                engine=False)
             )(imgs)
 
         self._stage1 = stage1

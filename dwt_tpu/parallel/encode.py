@@ -218,7 +218,8 @@ def _tiled_stats_step(mesh: Mesh, hh: int, ww: int, C: int, axis_name: str):
     def stats_step(tb):
         return _shard_map(
             lambda t: jax.vmap(
-                lambda im: _transform_and_stats(im, pyr, C, C == 1, perm)
+                lambda im: _transform_and_stats(im, pyr, C, C == 1, perm,
+                                                engine=False)
             )(t),
             mesh=mesh,
             in_specs=P(axis_name, None, None, None),

@@ -11,6 +11,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 from imagegen import random_image  # noqa: E402
 

@@ -767,11 +767,18 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     # Pass B: compose maps across blocks; minc[i] maps an order entering
     # block 0 to the order exiting block i.  Block i's true entry state is
     # the [0, i) composition applied to the stream-initial order 0.
+    # b[i, a[i, s]] realized as an NSTATE-way select chain: XLA's gather
+    # along a 31-lane axis costs ~34 ms at 4K on TPU; the same compose as
+    # 31 compare-selects costs ~5 ms (benchmarks/probe_vli6.py).
     def compose(a, b):
-        return jnp.take_along_axis(b, a, axis=-1)
+        out = jnp.zeros_like(a)
+        for s in range(NSTATE):
+            out = jnp.where(a == s, b[:, s : s + 1], out)
+        return out
 
-    minc = jax.lax.associative_scan(compose, maps.astype(jnp.int32), axis=0)
-    entry = jnp.concatenate([jnp.zeros((1,), jnp.int32), minc[:-1, 0]])
+    minc = jax.lax.associative_scan(compose, maps.astype(jnp.int8), axis=0)
+    entry = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), minc[:-1, 0].astype(jnp.int32)])
 
     # Pass C: replay with the true entry state, record both slots' orders
     # (5 bits each, NSTATE - 1 < 32) in one int32 per pair.

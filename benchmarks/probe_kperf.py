@@ -1,0 +1,186 @@
+"""Isolated device timing of the stage-2 Pallas kernels (A, B, pack).
+
+The full stage-2 programs take tens of minutes to compile through the
+relay-attached TPU backend, which makes kernel tuning by full-pipeline
+rebench ~1 iteration/hour.  This probe splits the loop:
+
+  1. `dump` phase (run with JAX_PLATFORMS=cpu): encode a real 4K image
+     through the XLA-fallback pipeline ONCE and save every kernel input
+     (packed element rows, unit metadata, token codeword contributions,
+     word indices) to /tmp.  Byte-identical semantics guarantee the
+     captured inputs match what the TPU kernels see in production.
+  2. `time` phase (TPU): load the dump, jit JUST the pallas_call wrappers
+     (they compile in seconds — the XLA wrapping is trivial), and time
+     each kernel with scalar-sync-only measurement.
+
+Usage:
+    JAX_PLATFORMS=cpu python benchmarks/probe_kperf.py dump [W H]
+    python benchmarks/probe_kperf.py time [W H]
+"""
+
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 3840
+H = int(sys.argv[3]) if len(sys.argv) > 3 else 2160
+NPZ = f"/tmp/kperf_{W}x{H}.npz"
+
+
+def p(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def dump():
+    assert "cpu" in os.environ.get("JAX_PLATFORMS", ""), \
+        "dump must run on CPU (JAX_PLATFORMS=cpu)"
+    # The axon TPU plugin programmatically forces the tunneled TPU platform,
+    # overriding JAX_PLATFORMS env — override it back (see tests/conftest).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from imagegen import random_image
+
+    from dwt_tpu.codec import encoder as E
+
+    rng = np.random.default_rng(7)  # same content as bench.py
+    img = random_image(rng, W, H, 3, "mixed")
+    enc = E.get_encoder(W, H, 3)
+    p("stage1...")
+    lin, stats = enc._stage1(jnp.asarray(img), enc._perm)
+    T = int(stats["T"])
+    padded_T = E._bucket(T)
+    pyr, C = enc.pyr, 3
+    p(f"T={T} padded_T={padded_T}")
+
+    segs = E._Segs(pyr)
+    com = E._unit_common(stats, segs, pyr, C)
+    vmag = E._packed_elems(lin, segs)
+
+    # ---- kernel A meta (mirrors _sig_tokens_pallas) ----
+    from dwt_tpu.ops import pallas_compact as pc
+
+    scar = segs.level_excl_cumsum(stats["nS_ck"])
+    zcar = segs.level_excl_cumsum(stats["nZ_ck"])
+    nS_u = stats["nS_ck"].reshape(-1)[com["flat_ck"]]
+    u_pair0 = (stats["step_base"].reshape(-1)[com["flat_step"]] >> 1) \
+        + scar.reshape(-1)[com["flat_ck"]]
+    npair = padded_T // 2
+    pairbuf = npair + pc.WTOK_BIG + 256
+    ws = jnp.clip(u_pair0 & ~jnp.int32(127), 0,
+                  (pairbuf - pc.WTOK_BIG) // 128 * 128)
+    meta_a = jnp.stack([
+        com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_pair0 - ws,
+        zcar.reshape(-1)[com["flat_ck"]],
+        jnp.where(com["valid"], nS_u, 0),
+        jnp.zeros_like(nS_u),
+    ], axis=1).astype(jnp.int32)
+
+    # ---- tokens/orders on the XLA fallback, then pack inputs ----
+    p("stage2 tokens (XLA fallback)...")
+    tv, tr, tf, orders = E._stage2_tokens(lin, stats, pyr, C, padded_T)
+    p("pack inputs...")
+    s = orders
+    k = jnp.where(tf, E._vli_k(tv, s), 0)
+    nbits = jnp.where(tf, 2 * k + s + 1, tr)
+    payload = tv - ((jnp.int32(1) << (s + k)) - (jnp.int32(1) << s))
+    lo_vli = ((jnp.int32(1) << k) | (payload << (k + 1))).astype(jnp.uint32)
+    hi_vli = (payload.astype(jnp.uint32) >> (31 - k).astype(jnp.uint32))
+    lo = jnp.where(tf, lo_vli, tv.astype(jnp.uint32))
+    hi = jnp.where(tf, hi_vli, 0)
+    off_base = E._excl_cumsum(nbits, axis=0)
+    nref_step = jnp.where(stats["valid"], stats["nRef"], 0).reshape(-1)
+    inject = jnp.zeros(padded_T + 1, jnp.int32).at[
+        jnp.clip(stats["inj_pos"].reshape(-1), 0, padded_T)
+    ].add(nref_step)[:padded_T]
+    off = off_base + jnp.cumsum(inject)
+    widx = off >> 5
+    sh = (off & 31).astype(jnp.uint32)
+    shc = (jnp.uint32(31) - sh)
+    c0 = lo << sh
+    c1 = ((lo >> 1) >> shc) | (hi << sh)
+    c2 = (hi >> 1) >> shc
+    nwords = E._stream_words(pyr, C, padded_T)
+
+    # ---- kernel B meta (mirrors _ref_bits_pallas) ----
+    p_ix = jnp.arange(E.PMAX, dtype=jnp.int32)[None, None, :]
+    vc = jnp.asarray(segs.ch_valid, jnp.int32)[None, :, None]
+    nR_ck = jnp.where(p_ix < stats["planes_max"],
+                      vc - stats["nS_ck"] - stats["nZ_ck"], 0)
+    rcar = segs.level_excl_cumsum(nR_ck)
+    refstart = E._refstart(stats, off_base, pyr, padded_T).reshape(-1)
+    u_bit0 = refstart[com["flat_step"]] + rcar.reshape(-1)[com["flat_ck"]]
+    nR_u = nR_ck.reshape(-1)[com["flat_ck"]]
+    wsb = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0,
+                   (nwords - pc.WREF) // 128 * 128)
+    meta_b = jnp.stack([
+        com["elem"] // pc.SUBB, com["elen"], com["p"], wsb,
+        u_bit0 - 32 * wsb, jnp.zeros_like(nR_u),
+        jnp.where(com["valid"], nR_u, 0), jnp.zeros_like(nR_u),
+    ], axis=1).astype(jnp.int32)
+
+    np.savez_compressed(
+        NPZ, vmag=np.asarray(vmag), meta_a=np.asarray(meta_a),
+        meta_b=np.asarray(meta_b), widx=np.asarray(widx),
+        c0=np.asarray(c0), c1=np.asarray(c1), c2=np.asarray(c2),
+        nwords=np.int64(nwords), pairbuf=np.int64(pairbuf),
+        padded_T=np.int64(padded_T))
+    p(f"dumped {NPZ}")
+
+
+def timeit():
+    import jax
+    import jax.numpy as jnp
+
+    from dwt_tpu.runtime import cache
+
+    cache.enable()
+    from dwt_tpu.ops import pallas_compact as pc
+    from dwt_tpu.ops import pallas_pack as pp
+
+    z = np.load(NPZ)
+    p(f"loaded {NPZ}; backend={jax.default_backend()}")
+    vmag = jnp.asarray(z["vmag"])
+    meta_a = jnp.asarray(z["meta_a"])
+    meta_b = jnp.asarray(z["meta_b"])
+    widx, c0, c1, c2 = (jnp.asarray(z[k]) for k in ("widx", "c0", "c1", "c2"))
+    nwords = int(z["nwords"])
+    pairbuf = int(z["pairbuf"])
+
+    def bench(name, fn, *args, n=5):
+        f = jax.jit(fn)
+        r = f(*args)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        outs = [f(*args) for _ in range(n)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / n * 1000
+        p(f"{name}: {dt:.1f} ms")
+        return dt
+
+    pair0 = jnp.zeros((1, pairbuf), jnp.int32)
+    bench("kernel A (compact_tokens)",
+          lambda v, m, t0_: jnp.sum(
+              pc.compact_tokens_pallas(v, m, t0_), dtype=jnp.uint32),
+          vmag, meta_a, pair0)
+    bench("pack (pack_words)",
+          lambda w, a, b, c: jnp.sum(
+              pp.pack_words_pallas(w, a, b, c, nwords), dtype=jnp.uint32),
+          widx, c0, c1, c2)
+    words0 = jnp.zeros((1, nwords), jnp.uint32)
+    bench("kernel B (scatter_refbits)",
+          lambda v, m, w: jnp.sum(
+              pc.scatter_refbits_pallas(v, m, w), dtype=jnp.uint32),
+          vmag, meta_b, words0)
+
+
+if __name__ == "__main__":
+    {"dump": dump, "time": timeit}[sys.argv[1]]()

@@ -910,10 +910,16 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
         # ever violated by a future format extension).  At the old
         # MAXWILD=1536 the padded gather/scatter cost ~455 ms; at 32 it is
         # noise.
-        MAXWILD = 32
+        MAXWILD = 64
         nblk = padded_T // BLOCKN
         wild = wild_blocks(widx)
-        wix = jnp.nonzero(wild, size=MAXWILD, fill_value=nblk)[0]
+        # size=MAXWILD+1: the sentinel slot detects overflow (more wild
+        # blocks than the straggler pass covers) — a silent drop would
+        # corrupt the stream, so it is folded into exact_bits below and
+        # raised host-side by _check_stream_bits.
+        wix = jnp.nonzero(wild, size=MAXWILD + 1, fill_value=nblk)[0]
+        wild_overflow = wix[MAXWILD] != nblk
+        wix = wix[:MAXWILD]
         tok = wix[:, None] * BLOCKN + jnp.arange(BLOCKN, dtype=jnp.int32)[None, :]
         ok = (tok < padded_T).reshape(-1)
         tokc = jnp.clip(tok, 0, padded_T - 1).reshape(-1)
@@ -933,6 +939,11 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     # (single streams are capped at 2^31 bits; use the tiled container
     # beyond that).
     exact_bits = jnp.sum(nbits, dtype=jnp.int64) + stats["nref_total"]
+    if _use_pallas_pack(padded_T):
+        # Wild-block overflow marker (see above): a distinct out-of-band
+        # magnitude so the host error names the real cause.
+        exact_bits = jnp.where(wild_overflow,
+                               jnp.int64(1) << 40, exact_bits)
     return words, exact_bits, off, off_base
 
 
@@ -1169,6 +1180,12 @@ def _check_stream_bits(total_bits: int) -> int:
     (256 MB) would have wrapped them.  The exact count is computed in int64
     on device, so overflow is detected — not silently emitted.  Larger
     images must use the tiled container (dwt_tpu.codec.tiled.encode_tiled)."""
+    if total_bits == 1 << 40:
+        raise AssertionError(
+            "internal: Pallas pack wild-block overflow (more than MAXWILD "
+            "blocks outside their group/own windows) — the straggler pass "
+            "cannot cover this stream; report the image, and encode with "
+            "DWT_NO_PALLAS=1 as a workaround")
     if total_bits >= 2**31:
         raise ValueError(
             f"stream needs {total_bits} bits; single .dwt streams are "
@@ -1184,7 +1201,8 @@ def _stream_words(pyr: Pyramid, channels: int, padded_T: int) -> int:
     from ..ops import pallas_pack
 
     n_det = (pyr.total - pyr.pixels[0]) * channels
-    return 2 * padded_T + (n_det * PMAX) // 32 + pallas_pack.WIN + 520
+    return (2 * padded_T + (n_det * PMAX) // 32
+            + pallas_pack._win() + pallas_pack._win1() + 520)
 
 
 def _bucket(t: int) -> int:

@@ -30,57 +30,119 @@ from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = False  # test hook: run the kernel in interpret mode (CPU)
 
-BLOCKN = 2048     # tokens per grid step
+BLOCKN = 2048     # tokens per block (wild-mask granularity)
+KGRP = 4          # blocks per grid step: ONE window DMA pair serves KGRP
+                  # consecutive blocks (the window read-modify-write's DMA
+                  # latency, not its bandwidth, dominated the kernel —
+                  # consecutive blocks' windows overlap ~90% anyway)
 SUB = 512         # tokens per MXU sub-chunk
 SUBWIN = 768      # big-tier rows; sub-chunks spanning more are "wild"
 SUBSMALL = 256    # small-tier rows: typical 512-token spans are ~60 words
-WIN = 2 * BLOCKN + 256  # block window: worst-case words + alignment slack
 
 
-def _tame(widx_row):
-    """True iff every sub-chunk's word span fits its window.  Blocks that
-    contain a large bit-offset jump (a step's refinement-bit injection)
-    are "wild" and handled by the caller's straggler pass; the criterion
-    here must match `wild_blocks` below exactly.  Tokens are <= 64 bits, so
-    a block can only be wild at an injection site — the wild count is
-    bounded by the number of schedule steps (< 1024)."""
-    ok = (widx_row[BLOCKN - 1] - widx_row[0]) <= WIN - SUBWIN - 131
+def _win() -> int:
+    """Group window: worst-case words of KGRP blocks + alignment slack.
+    (Computed from the current module constants so tests can shrink
+    BLOCKN/KGRP.)"""
+    return KGRP * 2 * BLOCKN + 256
+
+
+def _win1() -> int:
+    """Own-window size for blocks that jumped out of their group window
+    (a step's refinement-bit injection landed mid-group): the round-3
+    per-block window, worst-case words of one block + alignment slack."""
+    return 2 * BLOCKN + 256
+
+
+def _subs_ok(row, k):
+    """Every sub-chunk span of block k fits its tier window."""
+    ok = None
     for s in range(BLOCKN // SUB):
-        ok &= (widx_row[s * SUB + SUB - 1] - widx_row[s * SUB]) <= SUBWIN - 131
+        c = (row[k * BLOCKN + s * SUB + SUB - 1]
+             - row[k * BLOCKN + s * SUB]) <= SUBWIN - 131
+        ok = c if ok is None else ok & c
     return ok
 
 
 def wild_blocks(widx):
-    """(nblk,) bool — blocks the kernel skips; must mirror `_tame`."""
+    """(nblk,) bool — blocks the kernel skips (handled by the caller's
+    straggler pass).  MUST mirror the kernel's placement criteria exactly:
+    a block is covered when (a) it fits the group window rooted at its
+    group's aligned start, or (b) its own 1-block window fits AND is
+    disjoint from the group window (so the two scratch RMWs cannot
+    interleave); in both cases every sub-chunk span must fit its tier.
+    With step bases padded to BLOCKN (encoder._stats_from_lin) a jump
+    only lands between blocks, so case (b) covers mid-group injection
+    jumps and no block is ever wild in practice; the pass is belt and
+    braces.  ``len(widx)`` should be a multiple of KGRP * BLOCKN (the
+    wrapper pads; a partial tail group is treated as its own group)."""
     w = widx.reshape(-1, BLOCKN)
-    ok = (w[:, BLOCKN - 1] - w[:, 0]) <= WIN - SUBWIN - 131
+    nblk = w.shape[0]
+    g0 = (w[::KGRP, 0] // 128) * 128          # aligned group window starts
+    reps = [KGRP] * (nblk // KGRP) + ([nblk % KGRP] if nblk % KGRP else [])
+    w0 = jnp.repeat(g0, jnp.asarray(reps), total_repeat_length=nblk)
+    own = (w[:, 0] // 128) * 128              # aligned own-window starts
+    in_group = (w[:, BLOCKN - 1] - w0) <= _win() - SUBWIN - 131
+    own_ok = ((w[:, BLOCKN - 1] - own) <= _win1() - SUBWIN - 131) \
+        & (own >= w0 + _win())
+    ok = in_group | own_ok
     for s in range(BLOCKN // SUB):
         ok &= (w[:, s * SUB + SUB - 1] - w[:, s * SUB]) <= SUBWIN - 131
     return ~ok
 
 
 def _kernel(ws_ref, widx_ref, c_ref, words_in, words_out,
-            scratch, sem_in, sem_out):
+            scratch, scr1, sem_in, sem_out, sem1_in, sem1_out):
     del words_in  # aliased with words_out
-    b = pl.program_id(0)
-    ws_al = pl.multiple_of(ws_ref[b], 128)  # aligned window start
+    g = pl.program_id(0)
+    ws_al = pl.multiple_of(ws_ref[g], 128)  # aligned group window start
+    WIN, WIN1 = _win(), _win1()
+    row = widx_ref[0]
 
-    @pl.when(_tame(widx_ref[0]))
-    def _():
-        _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in,
-                    sem_out)
-
-
-def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
-    # Pull the current window (read-modify-write across blocks is safe:
-    # the grid is sequential).
+    # Pull the group window once (read-modify-write across groups is safe:
+    # the grid is sequential; the own-window path below is gated on being
+    # DISJOINT from [ws_al, ws_al + WIN), so its RMW cannot interleave
+    # with this scratch's deferred write-back).
     copy_in = pltpu.make_async_copy(
         words_out.at[:, pl.ds(ws_al, WIN)], scratch, sem_in)
     copy_in.start()
     copy_in.wait()
 
+    for k in range(KGRP):
+        subs = _subs_ok(row, k)
+        in_group = ((row[k * BLOCKN + BLOCKN - 1] - ws_al)
+                    <= WIN - SUBWIN - 131) & subs
+        own = (row[k * BLOCKN] // 128) * 128
+        own_path = ((row[k * BLOCKN + BLOCKN - 1] - own)
+                    <= WIN1 - SUBWIN - 131) & (own >= ws_al + WIN) \
+            & ~in_group & subs
+
+        @pl.when(in_group)
+        def _(k=k):
+            _pack_block(k, ws_al, widx_ref, c_ref, scratch, WIN)
+
+        @pl.when(own_path)
+        def _(k=k, own=own):
+            own = pl.multiple_of(own, 128)
+            cp_in = pltpu.make_async_copy(
+                words_out.at[:, pl.ds(own, WIN1)], scr1, sem1_in)
+            cp_in.start()
+            cp_in.wait()
+            _pack_block(k, own, widx_ref, c_ref, scr1, WIN1)
+            cp_out = pltpu.make_async_copy(
+                scr1, words_out.at[:, pl.ds(own, WIN1)], sem1_out)
+            cp_out.start()
+            cp_out.wait()
+
+    copy_out = pltpu.make_async_copy(
+        scratch, words_out.at[:, pl.ds(ws_al, WIN)], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+
+def _pack_block(k, ws_al, widx_ref, c_ref, scratch, WIN):
     def sub_chunk(base):
-        lw = widx_ref[:, pl.ds(base, SUB)] - ws_al  # (1, SUB) local offsets
+        lw = widx_ref[:, pl.ds(k * BLOCKN + base, SUB)] - ws_al  # (1, SUB)
         base0 = jnp.maximum(lw[0, 0], 0)
         rel = lw - base0  # [0, span]; span <= SUBWIN - 131 for tame blocks
         # Two-stage split placement with ONE one-hot for all three word
@@ -91,10 +153,11 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
         # words then shift-merge into the 128-aligned scratch window via a
         # small (T+136, T) one-hot over their byte planes — so the 128-lane
         # misalignment costs O(T^2) instead of O(128 * 3*SUB) per tier.
+        c_at = 3 * BLOCKN * k + base
         vals = jnp.concatenate(
-            [c_ref[:, pl.ds(base, SUB)],
-             c_ref[:, pl.ds(BLOCKN + base, SUB)],
-             c_ref[:, pl.ds(2 * BLOCKN + base, SUB)]], axis=0)  # (3, SUB)
+            [c_ref[:, pl.ds(c_at, SUB)],
+             c_ref[:, pl.ds(BLOCKN + c_at, SUB)],
+             c_ref[:, pl.ds(2 * BLOCKN + c_at, SUB)]], axis=0)  # (3, SUB)
         # nibble planes (24, SUB): rows [8c + k] = nibble k of contribution
         # c; 4-bit pieces stay positive in s8 (u32 -> s8 routes via s32).
         stacked = jnp.concatenate(
@@ -168,38 +231,47 @@ def _pack_block(ws_al, widx_ref, c_ref, words_out, scratch, sem_in, sem_out):
     for s in range(BLOCKN // SUB):  # unrolled: traced indices would be i64
         sub_chunk(s * SUB)
 
-    copy_out = pltpu.make_async_copy(
-        scratch, words_out.at[:, pl.ds(ws_al, WIN)], sem_out)
-    copy_out.start()
-    copy_out.wait()
-
 
 def pack_words_pallas(widx, c0, c1, c2, nwords: int,
                       interpret: bool | None = None):
     """words[nwords] with each token's 3 word contributions accumulated.
 
     widx must be int32 nondecreasing; len(widx) a multiple of BLOCKN; the
-    last (WIN + 256) words of the buffer must be slack (never real stream
-    words) so the final block's window stays in bounds.
+    last (_win() + _win1() + 256) words of the buffer must be slack (never
+    real stream words) so the final group's window — and any own-window
+    block's — stays in bounds.
     """
     if interpret is None:
         interpret = INTERPRET
-    n = widx.shape[0]
+    n0 = widx.shape[0]
+    # Pad the token axis to a whole number of KGRP-block groups: padding
+    # tokens repeat the last word index (nondecreasing preserved) with
+    # all-zero contributions, so they accumulate nothing.
+    gtok = KGRP * BLOCKN
+    n = -(-n0 // gtok) * gtok
+    if n != n0:
+        widx = jnp.concatenate(
+            [widx, jnp.broadcast_to(widx[-1:], (n - n0,))])
+        zpad = jnp.zeros(n - n0, c0.dtype)
+        c0, c1, c2 = (jnp.concatenate([c, zpad]) for c in (c0, c1, c2))
     nblk = n // BLOCKN
     nwords_pad = (nwords + 511) // 512 * 512  # lane-aligned HBM width
-    ws_al = (widx[::BLOCKN] // 128) * 128  # (nblk,) aligned window starts
+    ws_al = (widx[::gtok] // 128) * 128  # (ngrp,) aligned window starts
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblk,),
+        grid=(nblk // KGRP,),
         in_specs=[
-            pl.BlockSpec((1, BLOCKN), lambda b, ws: (0, b)),
-            pl.BlockSpec((1, 3 * BLOCKN), lambda b, ws: (0, b)),
+            pl.BlockSpec((1, gtok), lambda g, ws: (0, g)),
+            pl.BlockSpec((1, 3 * gtok), lambda g, ws: (0, g)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, WIN), jnp.uint32),
+            pltpu.VMEM((1, _win()), jnp.uint32),
+            pltpu.VMEM((1, _win1()), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

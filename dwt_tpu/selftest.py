@@ -141,6 +141,52 @@ def _kernel_drive() -> int:
         i = int(np.nonzero(got != want)[0][0])
         print(f"  kdrive B: first-diff word {i}", file=sys.stderr)
         ok = False
+
+    # Pack kernel at production constants: several groups of dense tokens,
+    # including a mid-group injection jump big enough to force the
+    # own-window fallback (disjoint from the group window) and a jump
+    # large enough to stay wild (straggler territory — those blocks must
+    # remain EMPTY in the kernel's output).  numpy scatter is the oracle.
+    from dwt_tpu.ops import pallas_pack as pp
+
+    gtok = pp.KGRP * pp.BLOCKN
+    n = 4 * gtok
+    bits = rng.integers(1, 34, n)           # 1..33-bit tokens
+    off = np.cumsum(bits) - bits
+    # group 1: inject a jump before its 3rd block (own-window fallback:
+    # disjoint from the group window); group 2: a MEDIUM jump that lands
+    # past the in-group bound but still inside the group window extent —
+    # the only genuinely wild case left (skipped by the kernel, covered by
+    # the straggler pass; here the oracle just expects it EMPTY)
+    jump1 = 32 * (pp._win() + 4 * 128)      # just past the group window
+    jump2 = 32 * (pp._win() - 2048)
+    off[gtok + 2 * pp.BLOCKN:] += jump1
+    off[2 * gtok + pp.BLOCKN:] += jump2
+    widx = (off >> 5).astype(np.int32)
+    lo = rng.integers(0, 2**32, n, dtype=np.uint64)
+    hi = rng.integers(0, 2**32, n, dtype=np.uint64)
+    sh = (off & 31).astype(np.uint64)
+    c0 = (lo << sh).astype(np.uint32)
+    c1 = (((lo >> 1) >> (31 - sh)) | (hi << sh)).astype(np.uint32)
+    c2 = ((hi >> 1) >> (31 - sh)).astype(np.uint32)
+    nwords = int(widx[-1]) + pp._win() + pp._win1() + 520
+    want = np.zeros(nwords + 512, np.uint32)
+    wild = np.asarray(pp.wild_blocks(jnp.asarray(widx)))
+    covered = np.repeat(~wild, pp.BLOCKN)
+    for k, c in enumerate((c0, c1, c2)):
+        np.add.at(want, widx[covered] + k, c[covered])
+    got = np.asarray(pp.pack_words_pallas(
+        jnp.asarray(widx), jnp.asarray(c0), jnp.asarray(c1),
+        jnp.asarray(c2), nwords))
+    if not np.array_equal(got, want[:nwords]):
+        i = int(np.nonzero(got != want[:nwords])[0][0])
+        print(f"  kdrive pack: first-diff word {i} (wild={wild.tolist()})",
+              file=sys.stderr)
+        ok = False
+    if not (wild.sum() >= 1 and (~wild).sum() >= 12):
+        print(f"  kdrive pack: jump construction degenerate "
+              f"(wild={wild.tolist()})", file=sys.stderr)
+        ok = False
     return 0 if ok else 1
 
 

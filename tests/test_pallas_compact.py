@@ -37,7 +37,6 @@ def small_kernels(monkeypatch):
     monkeypatch.setattr(pp, "SUB", 64)
     monkeypatch.setattr(pp, "SUBSMALL", 128)
     monkeypatch.setattr(pp, "SUBWIN", 256)
-    monkeypatch.setattr(pp, "WIN", 2 * 256 + 256)
     monkeypatch.setattr(pp, "INTERPRET", True)
     yield
 
@@ -140,10 +139,12 @@ def test_window_clamp_alignment_invariants():
     assert pc.WREF % S == 0
     for t in pc.BSPLIT + (pc.B1ROWS,):
         assert (pc.WREF - pc._r2(t)) % S == 0
-    # pack kernel: WIN - ceil128(T + 136) aligned for every span tier
-    assert pp.WIN % 128 == 0
-    for T in (72, 264, pp.SUBWIN - 128):
-        assert (pp.WIN - -(-(T + 136) // 128) * 128) % 128 == 0
+    # pack kernel: WIN - ceil128(T + 136) aligned for every span tier and
+    # BOTH windows (group and own-window fallback)
+    for win in (pp._win(), pp._win1()):
+        assert win % 128 == 0
+        for T in (72, 264, pp.SUBWIN - 128):
+            assert (win - -(-(T + 136) // 128) * 128) % 128 == 0
 
 
 def test_kernel_b_word_boundaries(monkeypatch):

@@ -10,8 +10,8 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from dwt_tpu.ops.pallas_pack import (BLOCKN, WIN, pack_words_pallas,  # noqa: E402
-                                     wild_blocks)
+from dwt_tpu.ops.pallas_pack import (BLOCKN, _win, _win1,  # noqa: E402
+                                     pack_words_pallas, wild_blocks)
 
 
 def _want(nwords, widx, c0, c1, c2):
@@ -44,7 +44,7 @@ def test_pack_kernel_interpret(jumps):
     c0 = rng.integers(0, 2**32, n, dtype=np.uint32)
     c1 = rng.integers(0, 2**32, n, dtype=np.uint32)
     c2 = rng.integers(0, 2**32, n, dtype=np.uint32)
-    nwords = int(widx[-1]) + WIN + 520
+    nwords = int(widx[-1]) + _win() + _win1() + 520
 
     got = np.asarray(pack_words_pallas(
         jnp.asarray(widx), jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(c2),

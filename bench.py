@@ -99,6 +99,17 @@ def _oracle_or_none():
     return None
 
 
+def _load() -> list:
+    """1/5/15-min load averages, rounded — recorded around each phase so an
+    environmental collapse (a starved/contended driver host) is attributable
+    from the JSON instead of masquerading as a codec regression (the round-4
+    tiled-decode number: 2.35 MP/s official vs 26/89 MP/s reproduced)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return []
+
+
 def main():
     sys.path.insert(0, "tests")
     from imagegen import random_image
@@ -112,7 +123,8 @@ def main():
     cache.enable()
     rung = os.environ.get("DWT_BENCH_RUNG", "full")
     RESULT.update(metric="encode_4k_lossless_throughput", unit="MP/s",
-                  rung=rung)
+                  rung=rung,
+                  env={"ncores": os.cpu_count(), "load_start": _load()})
     orc = _oracle_or_none()
     rng = np.random.default_rng(7)
 
@@ -153,11 +165,12 @@ def main():
     lin, stats = enc._stage1(img_dev, enc._perm)
     T = int(stats["T"])
     st2 = enc._get_stage2(encoder._bucket(T))
-    cks = jax.jit(lambda w, tb: (jnp.sum(w, dtype=jnp.uint32), tb))
+    cks = jax.jit(lambda w, p: (jnp.sum(w, dtype=jnp.uint32),
+                                jnp.sum(p, dtype=jnp.int32)))
 
     def full(lin, stats):
-        words, total_bits, _ = st2(lin, stats)
-        return cks(words, total_bits)
+        words, bits_parts, _wild, _ = st2(lin, stats)
+        return cks(words, bits_parts)
 
     cs, tb = full(lin, stats)
     int(cs), int(tb)
@@ -221,10 +234,18 @@ def _decode_phases(enc, stream, img):
     pyr = enc.pyr
     dimg, _ = decoder.decode(stream)  # warm-up (parse + inverse) + correctness
     assert np.array_equal(dimg, img), "BENCH INVALID: decode roundtrip"
-    t0 = time.time()
-    coeffs, missing, level, planes = native.entropy_decode(
-        stream[6:], 3, pyr.levels, pyr.levels, pyr.pixels)
-    parse_s = time.time() - t0
+    # Best-of-3 parse: the parse is host-CPU work on a possibly contended
+    # driver box; the minimum is the codec's number, the spread + loadavg
+    # attribute any collapse to the environment.
+    parse_s, parse_all = 1e9, []
+    for _ in range(3):
+        t0 = time.time()
+        coeffs, missing, level, planes = native.entropy_decode(
+            stream[6:], 3, pyr.levels, pyr.levels, pyr.pixels)
+        parse_all.append(round(time.time() - t0, 3))
+        parse_s = min(parse_s, parse_all[-1])
+    RESULT["decode_parse_runs_s"] = parse_all
+    RESULT["env"]["load_decode"] = _load()
     # Device inverse timed with a scalar-only sync (the full image D2H
     # rides PCIe on production hosts; here it would measure the ~20 MB/s
     # dev tunnel instead of the codec).
@@ -239,7 +260,9 @@ def _decode_phases(enc, stream, img):
     log(f"decode: parse {parse_s:.2f}s + inverse {inv_s:.2f}s = "
         f"{dec_mps:.2f} MP/s (C baseline {DEC_BASELINE_MPS})")
     RESULT.update(decode_mps=round(dec_mps, 3),
-                  decode_vs_baseline=round(dec_mps / DEC_BASELINE_MPS, 3))
+                  decode_vs_baseline=round(dec_mps / DEC_BASELINE_MPS, 3),
+                  decode_parse_s=round(parse_s, 3),
+                  decode_inverse_s=round(inv_s, 3))
     emit()
 
     # Tiled decode aggregate: 32 uniform 540x480 tiles of the same image
@@ -257,10 +280,23 @@ def _decode_phases(enc, stream, img):
     tpyr = compute_pyramid(480, 540)
     native.entropy_decode_batch(  # warm-up
         payloads[:4], 3, tpyr.levels, tpyr.levels, tpyr.pixels, nthreads=4)
+    # Canonical per-core number first: a 1-thread parse of a 4-tile subset
+    # is environment-robust (no oversubscription possible); scale to MP/s.
+    sub = payloads[:4]
     t0 = time.time()
-    co, mi, lv, _pl, rc = native.entropy_decode_batch(
-        payloads, 3, tpyr.levels, tpyr.levels, tpyr.pixels, nthreads=0)
-    tparse_s = time.time() - t0
+    native.entropy_decode_batch(sub, 3, tpyr.levels, tpyr.levels,
+                                tpyr.pixels, nthreads=1)
+    t1_s = time.time() - t0
+    tiled_1t_mps = len(sub) * 480 * 540 / 1e6 / t1_s
+    RESULT["env"]["load_tiled"] = _load()
+    # All-core aggregate, best-of-2 (thread-pool work on a shared box).
+    nthreads = os.cpu_count() or 4  # what nthreads=0 resolves to in native
+    tparse_s = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        co, mi, lv, _pl, rc = native.entropy_decode_batch(
+            payloads, 3, tpyr.levels, tpyr.levels, tpyr.pixels, nthreads=0)
+        tparse_s = min(tparse_s, time.time() - t0)
     lvl = int(lv.min())
     btail = decoder._tail_batch_fn(480, 540, lvl + 1, 3, False)
     cjb, mjb = jnp.asarray(co), jnp.asarray(mi)
@@ -270,9 +306,18 @@ def _decode_phases(enc, stream, img):
     tinv_s = time.time() - t0
     tdec_mps = W * H / 1e6 / (tparse_s + tinv_s)
     log(f"tiled decode: parse {tparse_s:.2f}s + inverse {tinv_s:.2f}s = "
-        f"{tdec_mps:.2f} MP/s aggregate (C baseline {DEC_BASELINE_MPS})")
+        f"{tdec_mps:.2f} MP/s aggregate on {nthreads} threads "
+        f"({tiled_1t_mps:.2f} MP/s 1-thread canonical; "
+        f"C baseline {DEC_BASELINE_MPS})")
     RESULT.update(tiled_decode_mps=round(tdec_mps, 3),
-                  tiled_decode_vs_baseline=round(tdec_mps / DEC_BASELINE_MPS, 3))
+                  tiled_decode_vs_baseline=round(tdec_mps / DEC_BASELINE_MPS, 3),
+                  tiled_decode_parse_s=round(tparse_s, 3),
+                  tiled_decode_inverse_s=round(tinv_s, 3),
+                  tiled_decode_nthreads=nthreads,
+                  tiled_decode_1thread_mps=round(tiled_1t_mps, 3),
+                  tiled_decode_1thread_vs_baseline=round(
+                      tiled_1t_mps / DEC_BASELINE_MPS, 3))
+    RESULT["env"]["load_end"] = _load()
 
 
 # Fallback rung name -> kernel gates, tried in order when the production

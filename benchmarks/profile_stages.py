@@ -86,7 +86,7 @@ tv, tr, tf = timed(
     zpA, sgA, lin, stats)
 orders = timed("VLI order scan", lambda tv, tf: _vli_orders(tv, tf, padded_T),
                tv, tf)
-words, total_bits, off, off_base = timed(
+words, bits_parts, wild, off, off_base = timed(
     "pack bits (codewords)",
     lambda lin, stats, tv, tr, tf, o: _pack_bits(
         lin, stats, tv, tr, tf, o, pyr, C, padded_T, nwords),
@@ -104,8 +104,8 @@ _c = jax.jit(lambda w, tb: (jnp.sum(w, dtype=jnp.uint32), tb))
 
 
 def _full(lin, stats):
-    w, tb, _ = st2(lin, stats)
-    return _c(w, tb)
+    w, p, _wild, _ = st2(lin, stats)
+    return _c(w, jnp.sum(p, dtype=jnp.int32))
 
 
 def timed_host(name, fn, *args):

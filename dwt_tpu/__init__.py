@@ -7,18 +7,13 @@ coding, embedded progressive bitstreams with byte-budget truncation —
 plus tiled multi-chip scaling the reference never had.
 
 The entropy pipeline is int32 end-to-end (64-bit integer ops are emulated
-on TPU — codec/encoder.py:858-866); x64 is enabled only for the few exact
-int64 REDUCTIONS (total stream bits, overflow detection in
-``_check_stream_bits``) that must not wrap.  Every array in the package
-carries an explicit dtype, so the flip changes no numerics here; it is
-process-global, which a downstream embedder can observe as numpy float64
-inputs staying f64 — pin your own dtypes or set jax_enable_x64 back after
-import if that matters to you.
+on TPU — codec/encoder.py:858-866).  The few exact totals that must not
+wrap (total stream bits, overflow detection in ``_check_stream_bits``)
+are computed as int32 device partial sums and totaled host-side in Python
+ints (codec/encoder.py:_bit_partials), so importing this package leaves
+global JAX configuration untouched — no process-wide ``jax_enable_x64``
+flip that a downstream embedder could observe.
 """
-
-import jax as _jax
-
-_jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: CLI invocations are separate processes; the
 # first run of a given image geometry compiles, every later process reuses

@@ -7,6 +7,9 @@ from dwt_tpu import specmodel
 
 jax = pytest.importorskip("jax")
 
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
 from dwt_tpu.codec import encoder  # noqa: E402
 
 
@@ -137,3 +140,57 @@ def test_budget_bounded_skips_work(rng):
         {k: host[k] for k in encoder._TRUNC_STATS_KEYS}, 2000, enc.pyr, 3)
     assert upd is not None
     assert int(upd["T"]) < int(host["T"]) // 4
+
+
+def test_wild_overflow_falls_back_to_xla_pack(rng, monkeypatch):
+    """A wild-block overflow must degrade to the XLA pack variant with a
+    warning and identical bytes — never an availability failure (ADVICE
+    r4: the AssertionError turned a content-dependent bound into a hard
+    abort)."""
+    import warnings
+
+    from dwt_tpu.codec import encoder
+
+    img = random_image(rng, 64, 48, 3, "mixed")
+    enc = encoder.Encoder(64, 48, 3)
+    want = enc.encode(img)
+
+    real = enc._get_stage2
+
+    def forced(padded_T, xla_pack=False):
+        fn = real(padded_T, xla_pack)
+        if xla_pack:
+            return fn
+
+        def wrap(lin, stats):
+            words, bits, wild, ends = fn(lin, stats)
+            return words, bits, wild + 1, ends  # claim overflow
+
+        return wrap
+
+    enc._get_stage2 = forced
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = enc.encode(img)
+    assert got == want
+    assert any("wild-block overflow" in str(x.message) for x in w)
+
+
+def test_xla_pack_variant_byte_identical(rng):
+    """The fallback emit path (xla_pack=True) produces the same stream as
+    the default path on its own merits."""
+    from dwt_tpu.codec import encoder
+
+    img = random_image(rng, 80, 56, 3, "mixed")
+    enc = encoder.Encoder(80, 56, 3)
+    want = enc.encode(img)
+    lin, stats = enc._stage1(jnp.asarray(img), enc._perm)
+    T = int(stats["T"])
+    words, parts, wild, _ = enc._get_stage2(
+        encoder._bucket(T), xla_pack=True)(lin, stats)
+    total = encoder._check_stream_bits(encoder._total_bits_host(parts),
+                                       bool(int(wild)))
+    nbytes = (total + 7) // 8
+    got = enc.header() + np.asarray(
+        words[: (nbytes + 3) // 4]).tobytes()[:nbytes]
+    assert got == want

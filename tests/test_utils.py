@@ -32,8 +32,9 @@ def test_selfcheck_mode_catches_corruption(rng, monkeypatch):
         fn = real(padded_T)
 
         def wrap(lin, stats):
-            words, bits, ends = fn(lin, stats)
-            return words.at[3].add(1 << 17), bits, ends  # flip a stream bit
+            words, bits, wild, ends = fn(lin, stats)
+            # flip a stream bit
+            return words.at[3].add(1 << 17), bits, wild, ends
 
         return wrap
 

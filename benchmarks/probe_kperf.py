@@ -65,67 +65,20 @@ def dump():
     com = E._unit_common(stats, segs, pyr, C)
     vmag = E._packed_elems(lin, segs)
 
-    # ---- kernel A meta (mirrors _sig_tokens_pallas) ----
-    from dwt_tpu.ops import pallas_compact as pc
+    # Kernel metadata + codeword contributions via the ENCODER'S OWN
+    # builders (_kernel_a_meta/_kernel_b_meta/_codeword_contribs): the
+    # probe can never desynchronize from the production meta layout
+    # (ADVICE r4: a previous copy of these expressions could).
+    meta_a, pairbuf = E._kernel_a_meta(stats, segs, com, padded_T)
 
-    scar = segs.level_excl_cumsum(stats["nS_ck"])
-    zcar = segs.level_excl_cumsum(stats["nZ_ck"])
-    nS_u = stats["nS_ck"].reshape(-1)[com["flat_ck"]]
-    u_pair0 = (stats["step_base"].reshape(-1)[com["flat_step"]] >> 1) \
-        + scar.reshape(-1)[com["flat_ck"]]
-    npair = padded_T // 2
-    pairbuf = npair + pc.WTOK_BIG + 256
-    ws = jnp.clip(u_pair0 & ~jnp.int32(127), 0,
-                  (pairbuf - pc.WTOK_BIG) // 128 * 128)
-    meta_a = jnp.stack([
-        com["elem"] // pc.SUBA, com["elen"], com["p"], ws, u_pair0 - ws,
-        zcar.reshape(-1)[com["flat_ck"]],
-        jnp.where(com["valid"], nS_u, 0),
-        jnp.zeros_like(nS_u),
-    ], axis=1).astype(jnp.int32)
-
-    # ---- tokens/orders on the XLA fallback, then pack inputs ----
     p("stage2 tokens (XLA fallback)...")
     tv, tr, tf, orders = E._stage2_tokens(lin, stats, pyr, C, padded_T)
     p("pack inputs...")
-    s = orders
-    k = jnp.where(tf, E._vli_k(tv, s), 0)
-    nbits = jnp.where(tf, 2 * k + s + 1, tr)
-    payload = tv - ((jnp.int32(1) << (s + k)) - (jnp.int32(1) << s))
-    lo_vli = ((jnp.int32(1) << k) | (payload << (k + 1))).astype(jnp.uint32)
-    hi_vli = (payload.astype(jnp.uint32) >> (31 - k).astype(jnp.uint32))
-    lo = jnp.where(tf, lo_vli, tv.astype(jnp.uint32))
-    hi = jnp.where(tf, hi_vli, 0)
-    off_base = E._excl_cumsum(nbits, axis=0)
-    nref_step = jnp.where(stats["valid"], stats["nRef"], 0).reshape(-1)
-    inject = jnp.zeros(padded_T + 1, jnp.int32).at[
-        jnp.clip(stats["inj_pos"].reshape(-1), 0, padded_T)
-    ].add(nref_step)[:padded_T]
-    off = off_base + jnp.cumsum(inject)
-    widx = off >> 5
-    sh = (off & 31).astype(jnp.uint32)
-    shc = (jnp.uint32(31) - sh)
-    c0 = lo << sh
-    c1 = ((lo >> 1) >> shc) | (hi << sh)
-    c2 = (hi >> 1) >> shc
+    (nbits, nref_step, off, off_base, widx, c0, c1, c2) = \
+        E._codeword_contribs(stats, tv, tr, tf, orders, padded_T)
     nwords = E._stream_words(pyr, C, padded_T)
-
-    # ---- kernel B meta (mirrors _ref_bits_pallas) ----
-    p_ix = jnp.arange(E.PMAX, dtype=jnp.int32)[None, None, :]
-    vc = jnp.asarray(segs.ch_valid, jnp.int32)[None, :, None]
-    nR_ck = jnp.where(p_ix < stats["planes_max"],
-                      vc - stats["nS_ck"] - stats["nZ_ck"], 0)
-    rcar = segs.level_excl_cumsum(nR_ck)
-    refstart = E._refstart(stats, off_base, pyr, padded_T).reshape(-1)
-    u_bit0 = refstart[com["flat_step"]] + rcar.reshape(-1)[com["flat_ck"]]
-    nR_u = nR_ck.reshape(-1)[com["flat_ck"]]
-    wsb = jnp.clip((u_bit0 >> 5) & ~jnp.int32(127), 0,
-                   (nwords - pc.WREF) // 128 * 128)
-    meta_b = jnp.stack([
-        com["elem"] // pc.SUBB, com["elen"], com["p"], wsb,
-        u_bit0 - 32 * wsb, jnp.zeros_like(nR_u),
-        jnp.where(com["valid"], nR_u, 0), jnp.zeros_like(nR_u),
-    ], axis=1).astype(jnp.int32)
+    meta_b = E._kernel_b_meta(stats, segs, com, off_base, pyr, padded_T,
+                              nwords)
 
     np.savez_compressed(
         NPZ, vmag=np.asarray(vmag), meta_a=np.asarray(meta_a),

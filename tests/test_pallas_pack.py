@@ -54,3 +54,34 @@ def test_pack_kernel_interpret(jumps):
         assert wild.any()
     got = _stragglers(got.copy(), wild, widx, c0, c1, c2)
     np.testing.assert_array_equal(got, _want(nwords, widx, c0, c1, c2))
+
+
+def test_pack_kernel_partial_tail_group():
+    """n = 6*BLOCKN: a partial tail group (nblk % KGRP != 0) — exercises
+    the wrapper's group padding and wild_blocks' jnp.repeat group starts,
+    with an own-window jump in the full group and a wild block inside the
+    tail group (ADVICE r4: this path was previously untested)."""
+    from dwt_tpu.ops.pallas_pack import KGRP
+
+    rng = np.random.default_rng(11)
+    n = 6 * BLOCKN
+    assert (n // BLOCKN) % KGRP != 0
+    steps = rng.integers(0, 3, n)
+    # own-window jump: lands past the first group's window but is coverable
+    # by a block-private window (between blocks, like a real injection)
+    steps[2 * BLOCKN] += 32 * (_win() + 4 * 128)
+    # wild jump INSIDE the tail group (mid-block -> genuinely wild)
+    steps[5 * BLOCKN + 700] += 32 * (_win() + 64 * 128)
+    widx = np.cumsum(steps).astype(np.int32)
+    c0 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    c1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    c2 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    nwords = int(widx[-1]) + _win() + _win1() + 520
+
+    got = np.asarray(pack_words_pallas(
+        jnp.asarray(widx), jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(c2),
+        nwords, interpret=True))
+    wild = np.asarray(wild_blocks(jnp.asarray(widx)))
+    assert wild[5]  # the tail-group block with the mid-block jump is wild
+    got = _stragglers(got.copy(), wild, widx, c0, c1, c2)
+    np.testing.assert_array_equal(got, _want(nwords, widx, c0, c1, c2))

@@ -11,12 +11,18 @@ JAX/XLA equivalent of shipping a prebuilt binary.)
 Enabled once at package import (dwt_tpu/__init__.py) and re-invoked
 (idempotently) by the entry points.  ONE directory rule serves every
 process — tests, CLI, bench, entry — so they share warm entries:
-``~/.cache/dwt_tpu/jax/<platform>``, partitioned by the requested
-JAX_PLATFORMS (CPU test artifacts and TPU artifacts never collide, and a
-home-directory cache survives repo-level clean/clone operations that a
-repo-local directory would not).  ``DWT_NO_COMPILE_CACHE=1`` disables;
-``DWT_TPU_CACHE`` or ``JAX_COMPILATION_CACHE_DIR`` (or an explicit
-argument) overrides the location.
+``<repo>/warmcache/<platform>`` when the package sits inside a writable
+checkout (the dev/bench containers are provisioned fresh each session,
+home directory included, so only the repo persists — committed TPU
+entries ship the expensive relay-side compiles across sessions, the
+JAX/XLA analog of a prebuilt binary), else
+``~/.cache/dwt_tpu/jax/<platform>``.  The tag is partitioned by the
+requested JAX_PLATFORMS plus, for CPU, a host-ISA fingerprint (CPU AOT
+artifacts bake in compile-host features that XLA's own key omits); CPU
+partitions are gitignored — only ``axon``/TPU entries are committed.
+``DWT_NO_COMPILE_CACHE=1`` disables; ``DWT_TPU_CACHE`` or
+``JAX_COMPILATION_CACHE_DIR`` (or an explicit argument) overrides the
+location.
 """
 
 from __future__ import annotations

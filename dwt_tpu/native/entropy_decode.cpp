@@ -287,14 +287,18 @@ int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane,
     int b = select_bit(cur, static_cast<int>(skip));
     cur = (b == 63) ? 0 : (cur & ~((2ull << b) - 1));
     int64_t pos = static_cast<int64_t>(wi) * 64 + b;
-    // The reference writes the significance bit BEFORE reading the sign
-    // (decode.c:79-83) — on EOF at the sign read the bit must survive
-    // (partial-truncation parity).
-    val[pos] = static_cast<int32_t>(static_cast<uint32_t>(val[pos]) | bit_mask);
     int s = rle->vli->bits->get_bit();
-    if (s < 0) return -1;
+    if (s < 0) {
+      // The reference writes the significance bit BEFORE reading the sign
+      // (decode.c:79-83) — on EOF at the sign read the bit must survive
+      // (partial-truncation parity).  Only this cold path needs the
+      // separate store; the hot path below merges both writes.
+      val[pos] =
+          static_cast<int32_t>(static_cast<uint32_t>(val[pos]) | bit_mask);
+      return -1;
+    }
     val[pos] = static_cast<int32_t>(
-        static_cast<uint32_t>(val[pos]) |
+        static_cast<uint32_t>(val[pos]) | bit_mask |
         (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
     cs->newly[wi] |= 1ull << b;
     newly_any = true;
@@ -543,6 +547,33 @@ int dwt_entropy_decode_batch(const uint8_t* streams, const int64_t* offsets,
   for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return 0;
+}
+
+// Parallel zero-fill of a coefficient buffer.  The decoder's output array
+// must be zero-initialized (values accumulate via OR); a fresh np.zeros
+// defers that cost to first-touch page faults INSIDE the timed parse
+// (~30-50 ms for a 4K frame's 100 MB).  Faulting + zeroing the pages from
+// all cores up front is both faster and attributable.
+void dwt_zero_i32(int32_t* buf, int64_t n, int nthreads) {
+  if (nthreads <= 0) {
+    nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads <= 0) nthreads = 4;
+  }
+  if (n < (1 << 20) || nthreads == 1) {
+    std::memset(buf, 0, static_cast<size_t>(n) * 4);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t a = t * chunk;
+    int64_t b = a + chunk < n ? a + chunk : n;
+    if (a >= b) break;
+    pool.emplace_back([buf, a, b]() {
+      std::memset(buf + a, 0, static_cast<size_t>(b - a) * 4);
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -61,8 +61,21 @@ def get_lib() -> ctypes.CDLL:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int,
         ]
+        lib.dwt_zero_i32.restype = None
+        lib.dwt_zero_i32.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int,
+        ]
         _LIB = lib
     return _LIB
+
+
+def _zeroed_i32(shape) -> np.ndarray:
+    """np.zeros equivalent with the pages faulted in + zeroed by all cores
+    up front (native dwt_zero_i32) instead of lazily inside the parse."""
+    out = np.empty(shape, np.int32)
+    get_lib().dwt_zero_i32(out.reshape(-1), out.size, 0)
+    return out
 
 
 def entropy_decode(stream: bytes, channels: int, levels: int, levels_max: int,
@@ -75,7 +88,7 @@ def entropy_decode(stream: bytes, channels: int, levels: int, levels_max: int,
     """
     lib = get_lib()
     total = int(pixels[levels])
-    out = np.zeros((channels, total), np.int32)
+    out = _zeroed_i32((channels, total))
     missing = np.zeros((channels, 16), np.int32)
     planes = np.zeros(channels, np.int32)
     level = ctypes.c_int32(-1)
@@ -101,7 +114,7 @@ def entropy_decode_batch(payloads: list, channels: int, levels: int,
     blob = b"".join(payloads)
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum([len(p) for p in payloads], out=offsets[1:])
-    out = np.zeros((n, channels, total), np.int32)
+    out = _zeroed_i32((n, channels, total))
     missing = np.zeros((n, channels, 16), np.int32)
     level = np.full(n, -1, np.int32)
     planes = np.zeros((n, channels), np.int32)

@@ -175,6 +175,11 @@ def main():
     cs, tb = full(lin, stats)
     int(cs), int(tb)
     log(f"warmup/compile: {time.time()-t0:.1f}s  T={T}")
+    # Pre-compile the batch combiner at the timed region's width.
+    N_FRAMES = 8
+    comb = jax.jit(lambda cs, tb: (jnp.sum(jnp.stack(cs), dtype=jnp.uint32),
+                                   jnp.sum(jnp.stack(tb), dtype=jnp.int32)))
+    int(comb([cs] * N_FRAMES, [tb] * N_FRAMES)[0])
 
     # Correctness gate: the full 4K stream must match the ground truth.
     stream = enc.encode(img)
@@ -198,16 +203,20 @@ def main():
     warmup_s = time.time() - t0
 
     # Timed region: full device pipeline per image.  Enqueue every frame,
-    # then sync each scalar once at the end — interleaving host syncs with
-    # dispatches re-stages the relay-attached device every iteration and
-    # measures the tunnel, not the codec.  The stage-2 executable is the
-    # warm bucket's (as in a production stream of same-geometry frames;
-    # bucket changes re-dispatch, which warmup already paid).
-    n = 5
+    # then sync ONE combined scalar that depends on every frame's outputs:
+    # the dev relay charges a ~25 ms round trip PER VALUE FETCH (measured:
+    # a 10-program chain syncs its last scalar in 26 ms; fetching 10 ready
+    # scalars costs 250 ms), so syncing per frame measures the tunnel, not
+    # the codec.  One combining program + one sync amortizes the fetch
+    # across the batch — the steady-state production pattern (results
+    # stream back over PCIe asynchronously).  The stage-2 executable is
+    # the warm bucket's (as in a production stream of same-geometry
+    # frames; bucket changes re-dispatch, which warmup already paid).
+    n = N_FRAMES
     t0 = time.time()
     outs = [full(*enc._stage1(img_dev, enc._perm)) for _ in range(n)]
-    for cs2, tb2 in outs:
-        int(cs2), int(tb2)
+    ctot, _btot = comb([o[0] for o in outs], [o[1] for o in outs])
+    int(ctot)
     dt = (time.time() - t0) / n
     mps = W * H / 1e6 / dt
 
@@ -251,9 +260,12 @@ def _decode_phases(enc, stream, img):
     # dev tunnel instead of the codec).
     tail = decoder._tail_fn(W, H, level + 1, 3, False)
     cj, mj = jnp.asarray(coeffs), jnp.asarray(missing)
-    int(jnp.sum(tail(cj, mj), dtype=jnp.uint32))  # warm-up/compile
+    # ONE program + ONE sync (the checksum rides inside the jit): a
+    # separate jnp.sum dispatch would add a second ~25 ms relay fetch.
+    tailsum = jax.jit(lambda c, m: jnp.sum(tail(c, m), dtype=jnp.uint32))
+    int(tailsum(cj, mj))  # warm-up/compile
     t0 = time.time()
-    int(jnp.sum(tail(cj, mj), dtype=jnp.uint32))
+    int(tailsum(cj, mj))
     inv_s = time.time() - t0
     decode_s = parse_s + inv_s
     dec_mps = W * H / 1e6 / decode_s
@@ -300,9 +312,10 @@ def _decode_phases(enc, stream, img):
     lvl = int(lv.min())
     btail = decoder._tail_batch_fn(480, 540, lvl + 1, 3, False)
     cjb, mjb = jnp.asarray(co), jnp.asarray(mi)
-    int(jnp.sum(btail(cjb, mjb), dtype=jnp.uint32))  # warm-up/compile
+    btailsum = jax.jit(lambda c, m: jnp.sum(btail(c, m), dtype=jnp.uint32))
+    int(btailsum(cjb, mjb))  # warm-up/compile
     t0 = time.time()
-    int(jnp.sum(btail(cjb, mjb), dtype=jnp.uint32))
+    int(btailsum(cjb, mjb))
     tinv_s = time.time() - t0
     tdec_mps = W * H / 1e6 / (tparse_s + tinv_s)
     log(f"tiled decode: parse {tparse_s:.2f}s + inverse {tinv_s:.2f}s = "

@@ -82,6 +82,7 @@ def dump():
 
     np.savez_compressed(
         NPZ, vmag=np.asarray(vmag), meta_a=np.asarray(meta_a),
+        tv=np.asarray(tv), tf=np.asarray(tf),
         meta_b=np.asarray(meta_b), widx=np.asarray(widx),
         c0=np.asarray(c0), c1=np.asarray(c1), c2=np.asarray(c2),
         nwords=np.int64(nwords), pairbuf=np.int64(pairbuf),
@@ -109,13 +110,19 @@ def timeit():
     pairbuf = int(z["pairbuf"])
 
     def bench(name, fn, *args, n=5):
-        f = jax.jit(fn)
-        r = f(*args)
-        jax.block_until_ready(r)
+        # Chain iterations through an accumulator and sync ONLY the final
+        # scalar: the dev relay charges ~25 ms per value fetch (not per
+        # program), so per-call syncs would add a constant offset to every
+        # measurement.  The single residual fetch is subtracted.
+        f = jax.jit(lambda prev, *a: fn(*a).astype(jnp.uint32) + prev)
+        acc = f(jnp.uint32(0), *args)
+        int(acc)  # warm + sync
         t0 = time.time()
-        outs = [f(*args) for _ in range(n)]
-        jax.block_until_ready(outs)
-        dt = (time.time() - t0) / n * 1000
+        acc = jnp.uint32(0)
+        for _ in range(n):
+            acc = f(acc, *args)
+        int(acc)
+        dt = (time.time() - t0 - 0.025) / n * 1000
         p(f"{name}: {dt:.1f} ms")
         return dt
 

@@ -58,7 +58,15 @@ NSTATE = 31
 # whose transform exceeds that magnitude are rejected (encode_with_stats),
 # never silently truncated.
 PMAX = 29
-BLOCK = 256  # token block length for the order-state scan
+# Token-block length of the VLI order-state scan: nblk = padded_T/BLOCK
+# lanes ride each of the BLOCK sequential scan steps.  Element work is
+# layout-invariant; bigger blocks shrink the compose pass and amortize
+# per-iteration overhead (with unroll) — measured at 4K on v5e:
+# 256/u1 18.4 ms, 256/u8 13.7, 512/u8 11.6, 1024/u8 10.0, 2048/u8 9.5.
+# 1024 keeps programs small and divides every padded_T the token buckets
+# emit (multiples of pallas_pack.BLOCKN = 2048).
+BLOCK = int(os.environ.get("DWT_VLI_BLOCK", "1024"))
+_VLI_UNROLL = int(os.environ.get("DWT_VLI_UNROLL", "8"))
 LMAX = 64  # static bound on progressive quality layers (2*max(levels,planes)-1)
 
 
@@ -722,42 +730,45 @@ def _finish_tokens(zp, sgn, lin, stats, pyr: Pyramid, channels: int,
     return tok_val[:padded_T], tok_raw[:padded_T], tok_vli[:padded_T]
 
 
-def _vli_orders(tok_val, tok_vli, padded_T: int):
-    """Exact VLI order state at every token via blocked associative scan.
-
-    The scan-major layout transposes are shuffle-bound and dominate this
-    stage (~29 ms each at 4K regardless of dtype — benchmarks/probe_vli.py
-    / probe_trans.py), so the per-token transition is factored into two
-    5-bit parameters that ride ONE packed int32 array through a single
-    input transpose:  ns = clamp(s + k - 2) with k = max(0,
-    ilog2(v + 2^s) - s) collapses to ns = clamp(ilog2(v + 2^s) - 2), and
-    ilog2(v + 2^s) = max(s, A + (s >= B)) where A = ilog2(v) and
-    B = ceil_log2(2^(A+1) - v) — verified token-exact against
-    _vli_next_state on the 4K stream.  State carries are int8.
-    """
-    npair = padded_T // 2
-    nblk = npair // BLOCK
+def _vli_ab(tok_val, tok_vli):
+    """Per-token transition parameters, +1-biased (0 = non-VLI no-op):
+    ns = clamp(s + k - 2) with k = max(0, ilog2(v + 2^s) - s) collapses to
+    ns = clamp(ilog2(v + 2^s) - 2), and ilog2(v + 2^s) = max(s, A +
+    (s >= B)) where A = ilog2(v) and B = ceil_log2(2^(A+1) - v) — verified
+    token-exact against _vli_next_state on the 4K stream."""
     L = jnp.maximum(_ilog2_i32(jnp.maximum(tok_val, 1)), 0)
     rem = (jnp.int32(2) << L) - tok_val
     Bt = jnp.where(rem <= 1, 0, _ilog2_i32(jnp.maximum(rem - 1, 1)) + 1)
-    ab = jnp.where(tok_vli, L | (Bt << 5), -1)
-    # Pair packing: both slots' (a, b) parameters (plus a +1 validity bias,
-    # 11 bits each) ride ONE int32 per pair, halving the transposes and the
-    # scan-state traffic.  Step bases are even, but VLI tokens still land
-    # on odd slots in the root region (and the per-channel plane counts are
-    # ADJACENT VLIs), so each scan step applies the transition twice.
-    ab2 = ab.reshape(npair, 2)
-    packed = (ab2[:, 0] + 1) | ((ab2[:, 1] + 1) << 11)
-    if _use_engine():  # MXU transpose: ~4x the XLA shuffle path on TPU
+    return jnp.where(tok_vli, (L | (Bt << 5)) + 1, 0)
+
+
+def _vli_orders(tok_val, tok_vli, padded_T: int):
+    """Exact VLI order state at every token via blocked associative scan.
+
+    Token-level layout: the (padded_T,) +1-biased parameter array reshapes
+    to (nblk, BLOCK) blocks and transposes once (MXU byte-plane transpose);
+    pass A scans the BLOCK rows building each block's 31-state transition
+    map, the maps compose with an associative scan (select-chain — an XLA
+    gather over the 31-lane axis costs ~7x more), and pass C replays with
+    the true entry states, emitting each token's order as int8 rows that
+    transpose straight back.  No pair packing: the earlier pair-packed
+    variant's stride-2 lane deinterleave/reinterleave cost more than both
+    transposes and both scans combined (~25 ms vs ~4+9 ms at 4K).
+    State carries are int8.
+    """
+    TB = BLOCK
+    nblk = padded_T // TB
+    ab = _vli_ab(tok_val, tok_vli)
+    if _use_engine():  # MXU transpose beats the XLA shuffle path on TPU
         from ..ops.pallas_transpose import transpose2d as _tr
     else:
         def _tr(m):
             return m.T
-    ab_b = _tr(packed.reshape(nblk, BLOCK))  # (BLOCK, nblk): one transpose in
+    ab_b = _tr(ab.reshape(nblk, TB))  # (TB, nblk): one transpose in
 
     def apply1(s, x):
-        """One token's transition from (a+1 | b<<5 biased) params; x == 0
-        marks a non-VLI slot (no-op)."""
+        """One token's transition from the +1-biased (a | b<<5) params;
+        x == 0 marks a non-VLI token (no-op)."""
         a = ((x - 1) & 31).astype(jnp.int8)[:, None]
         b = (((x - 1) >> 5) & 31).astype(jnp.int8)[:, None]
         ns = jnp.clip(
@@ -765,17 +776,11 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
             jnp.int8(0), jnp.int8(NSTATE - 1))
         return jnp.where((x > 0)[:, None], ns, s)
 
-    def trans(s, row):
-        return apply1(apply1(s, row & 0x7FF), (row >> 11) & 0x7FF)
-
     # Pass A: per-block transition map for all NSTATE possible entry states.
-    # unroll: the scans' per-iteration fixed cost (dynamic-slice + loop
-    # bookkeeping) dominates their element work at production sizes;
-    # unrolling amortizes it across 8 applies per iteration.
     init = jnp.broadcast_to(jnp.arange(NSTATE, dtype=jnp.int8)[None, :],
                             (nblk, NSTATE))
-    maps, _ = jax.lax.scan(lambda s, x: (trans(s, x), None), init, ab_b,
-                           unroll=8)
+    maps, _ = jax.lax.scan(lambda s, x: (apply1(s, x), None), init, ab_b,
+                           unroll=_VLI_UNROLL)
 
     # Pass B: compose maps across blocks; minc[i] maps an order entering
     # block 0 to the order exiting block i.  Block i's true entry state is
@@ -791,19 +796,16 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
 
     minc = jax.lax.associative_scan(compose, maps.astype(jnp.int8), axis=0)
     entry = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), minc[:-1, 0].astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int8), minc[:-1, 0]])
 
-    # Pass C: replay with the true entry state, record both slots' orders
-    # (5 bits each, NSTATE - 1 < 32) in one int32 per pair.
-    def stepC(s, row):
-        s1 = apply1(s, row & 0x7FF)
-        out = s.astype(jnp.int32) | (s1.astype(jnp.int32) << 5)
-        return apply1(s1, (row >> 11) & 0x7FF), out
+    # Pass C: replay with the true entry state; row output = each token's
+    # order BEFORE its own transition (the state it is coded with).
+    def stepC(s, x):
+        return apply1(s, x), s[:, 0]
 
-    _, orders = jax.lax.scan(stepC, entry.astype(jnp.int8)[:, None], ab_b,
-                             unroll=8)
-    op = _tr(orders[:, :, 0]).reshape(npair)
-    return jnp.stack([op & 31, (op >> 5) & 31], axis=-1).reshape(padded_T)
+    _, orders = jax.lax.scan(stepC, entry[:, None], ab_b,
+                             unroll=_VLI_UNROLL)
+    return _tr(orders).reshape(padded_T).astype(jnp.int32)
 
 
 def _use_pallas() -> bool:

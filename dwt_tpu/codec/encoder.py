@@ -1216,6 +1216,17 @@ def _truncate_schedule(sh: dict, capacity: int, pyr: Pyramid, channels: int):
     if include.all():
         return None
     k = int(np.nonzero(include)[0][-1]) if include.any() else -1
+    return _mask_schedule_suffix(sh, k, pyr, channels)
+
+
+def _mask_schedule_suffix(sh: dict, k: int, pyr: Pyramid, channels: int):
+    """Mask every schedule step AFTER index ``k`` (schedule order); shared
+    tail of _truncate_schedule and the tiled layer-cap path.  Returns the
+    replacement stats leaves (numpy), or None if nothing is cut."""
+    order = sh["order"]
+    base_s = sh["base_sched"]
+    S = order.size
+    C, L = channels, pyr.levels
     T_old = int(sh["T"])
     T_new = int(base_s[k + 1]) + 1 if k + 1 < S else T_old
     if T_new >= T_old:
@@ -1232,7 +1243,7 @@ def _truncate_schedule(sh: dict, capacity: int, pyr: Pyramid, channels: int):
         # The last included step injects its refinement bits at the flush
         # slot, exactly as the full schedule's final step does.
         inj_new[order[k]] = T_new - 1
-    vs_new = valid_s.copy()
+    vs_new = sh["valid_sched"].copy()
     vs_new[k + 1:] = False
     ns_new = sh["nS_sched"].copy()
     ns_new[k + 1:] = 0
@@ -1246,9 +1257,58 @@ def _truncate_schedule(sh: dict, capacity: int, pyr: Pyramid, channels: int):
     )
 
 
+def _schedule_layers_host(sh: dict, pyr: Pyramid, channels: int):
+    """(S,) quality-layer bucket of each schedule step, in schedule order
+    (pre-step = 0; mirrors _layer_boundaries' bucket)."""
+    C, L = channels, pyr.levels
+    order = sh["order"]
+    pm = int(sh["planes_max"])
+    c_s = order // (L * PMAX)
+    l_s = (order // PMAX) % L
+    p_s = order % PMAX
+    layers = np.where(c_s == 0, pm - 2 - p_s + l_s, pm - 1 - p_s + l_s)
+    return np.maximum(layers, -1) + 1
+
+
+def _layer_lb_bytes_host(sh: dict, pyr: Pyramid, channels: int,
+                         n_layers: int):
+    """(n_layers,) LOWER-bound byte cost each quality layer adds to this
+    tile's stream (floor of the bit bound; layer 0 includes the exact
+    root-band + plane-count bits).  True layer costs are >= these, so a
+    budget waterline computed from them includes a SUPERSET of the layers
+    the true allocation will include — masking beyond it is always safe."""
+    C = channels
+    order = sh["order"]
+    valid_s = sh["valid_sched"]
+    nS_s = sh["nS_sched"].astype(np.int64)
+    nref_flat = np.where(sh["valid"].reshape(-1), sh["nRef"].reshape(-1), 0)
+    nref_s = nref_flat[order].astype(np.int64)
+    rro_s = sh["refrun_ok"].reshape(-1)[order] & valid_s
+    lb_s = np.where(valid_s, 2 * nS_s + rro_s.astype(np.int64) + nref_s, 0)
+    buckets = _schedule_layers_host(sh, pyr, C)
+    bits = np.zeros(n_layers, np.int64)
+    np.add.at(bits, np.clip(buckets, 0, n_layers - 1), lb_s)
+    bits[0] += _root_bits_host(sh, pyr.pixels[0]) + C
+    return bits // 8
+
+
+def _truncate_schedule_to_layer(sh: dict, max_layer: int, pyr: Pyramid,
+                                channels: int):
+    """Mask every schedule step of a quality layer beyond ``max_layer``
+    (steps are schedule-ordered, so later layers form a suffix).  Returns
+    replacement stats leaves or None (nothing cut)."""
+    buckets = _schedule_layers_host(sh, pyr, channels)
+    include = (buckets <= max_layer) & sh["valid_sched"]
+    if not include.any():
+        k = -1
+    else:
+        k = int(np.nonzero(include)[0][-1])
+    return _mask_schedule_suffix(sh, k, pyr, channels)
+
+
 _TRUNC_STATS_KEYS = ("order", "valid_sched", "nS_sched", "base_sched",
                      "valid", "nRef", "refrun_ok", "inj_pos", "T",
-                     "root_cnt", "root_base", "planes_base")
+                     "root_cnt", "root_base", "planes_base", "planes_max")
 
 
 # ---------------------------------------------------------------------------

@@ -96,29 +96,41 @@ class BatchEncoder:
     # (token buffers + stream words + plane-loop temps per image).
     MAX_PIXELS_PER_DISPATCH = 16_000_000
 
+    def stage1_batches(self, imgs: np.ndarray):
+        """(N, H, W, C) uint8 -> list of (lin, stats) device sub-batches
+        (memory-bounded, MAX_PIXELS_PER_DISPATCH)."""
+        imgs = np.asarray(imgs)
+        chunk = max(1, self.MAX_PIXELS_PER_DISPATCH // self.pyr.total)
+        return [self._stage1(jnp.asarray(imgs[s : s + chunk]), self._perm)
+                for s in range(0, imgs.shape[0], chunk)]
+
+    def emit_batch(self, lin, stats):
+        """Stage 2 for one stage-1 sub-batch -> (payloads, layer byte
+        ends (n, LMAX))."""
+        T = int(jnp.max(stats["T"]))
+        _check_planes(int(jnp.max(stats["planes_max"])))
+        words, bits_parts, wild, layer_ends = \
+            self._get_stage2(_bucket(T))(lin, stats)
+        parts_np = np.asarray(bits_parts, dtype=np.int64)  # (N, K)
+        wild_np = np.asarray(wild)
+        payloads = []
+        for i in range(parts_np.shape[0]):
+            nbytes = (_check_stream_bits(int(parts_np[i].sum()),
+                                         bool(wild_np[i])) + 7) // 8
+            # Slice on device so only the real stream transfers D2H.
+            payloads.append(
+                np.asarray(words[i, : (nbytes + 3) // 4]).tobytes()[:nbytes])
+        return payloads, (np.asarray(layer_ends) + 7) // 8
+
     def encode_raw(self, imgs: np.ndarray):
         """(N, H, W, C) uint8 -> (payloads list[bytes], layer_ends (N, LMAX)
         byte offsets).  Payloads exclude the 6-byte header.  Large batches
         are processed in memory-bounded sub-batches."""
-        imgs = np.asarray(imgs)
-        chunk = max(1, self.MAX_PIXELS_PER_DISPATCH // self.pyr.total)
         payloads, layer_list = [], []
-        for s in range(0, imgs.shape[0], chunk):
-            sub = imgs[s : s + chunk]
-            lin, stats = self._stage1(jnp.asarray(sub), self._perm)
-            T = int(jnp.max(stats["T"]))
-            _check_planes(int(jnp.max(stats["planes_max"])))
-            words, bits_parts, wild, layer_ends = \
-                self._get_stage2(_bucket(T))(lin, stats)
-            parts_np = np.asarray(bits_parts, dtype=np.int64)  # (N, K)
-            wild_np = np.asarray(wild)
-            for i in range(sub.shape[0]):
-                nbytes = (_check_stream_bits(int(parts_np[i].sum()),
-                                             bool(wild_np[i])) + 7) // 8
-                # Slice on device so only the real stream transfers D2H.
-                payloads.append(
-                    np.asarray(words[i, : (nbytes + 3) // 4]).tobytes()[:nbytes])
-            layer_list.append((np.asarray(layer_ends) + 7) // 8)
+        for lin, stats in self.stage1_batches(imgs):
+            pls, lbs = self.emit_batch(lin, stats)
+            payloads.extend(pls)
+            layer_list.append(lbs)
         return payloads, np.concatenate(layer_list, axis=0)
 
     def encode_batch(self, imgs: np.ndarray) -> list:
@@ -176,13 +188,72 @@ def encode_tiled(img: np.ndarray, tile: tuple = (512, 512), budget: int = 0) -> 
 
     payloads = [None] * len(order)
     layer_bytes = [None] * len(order)
-    for (hh, ww), items in groups.items():
-        enc = get_batch_encoder(ww, hh, C)
-        batch = np.stack([t for _, t in items])
-        pls, lbs = enc.encode_raw(batch)
-        for (idx, _), p, lb in zip(items, pls, lbs):
-            payloads[idx] = p
-            layer_bytes[idx] = lb
+    if budget > 0:
+        # Budget-bounded WORK, not just output slicing (bytes.h:75-78 as
+        # the reference's early stop, generalized across tiles): stage 1
+        # runs for every tile, per-layer LOWER-bound byte costs predict a
+        # conservative global waterline layer, every tile's schedule is
+        # masked beyond it BEFORE stage 2 (suffix of the schedule order),
+        # and the real allocation below then cuts within the layers that
+        # were actually coded.  Lower bounds guarantee the masked set is a
+        # superset of what the true allocation keeps, so the final bytes
+        # are identical to the lossless-encode-then-cut path.
+        from . import encoder as _enc
+        from .encoder import LMAX, _TRUNC_STATS_KEYS, _layer_lb_bytes_host
+
+        work = []  # (enc, pyr, lin, stats, host_list)
+        lb_rows = []
+        for (hh, ww), items in groups.items():
+            enc = get_batch_encoder(ww, hh, C)
+            batch = np.stack([t for _, t in items])
+            for lin, stats in enc.stage1_batches(batch):
+                host = jax.device_get(
+                    {k: stats[k] for k in _TRUNC_STATS_KEYS})
+                n = host["T"].shape[0]
+                host_list = [
+                    {k: v[i] for k, v in host.items()} for i in range(n)]
+                work.append((enc, lin, stats, host_list))
+                lb_rows.extend(
+                    _layer_lb_bytes_host(h, enc.pyr, C, LMAX)
+                    for h in host_list)
+        head_bytes = 20 + 4 * len(order)
+        cum = np.stack(lb_rows).sum(axis=0).cumsum()
+        # First layer the lower-bound total cannot fully afford; the true
+        # cut reaches at most INTO that layer (allocate_budget semantics),
+        # so layers <= keep_layer must be coded, later ones never survive.
+        keep_layer = int((cum <= max(budget - head_bytes, 0)).sum())
+        # stage1_batches preserves group/item order: align results back to
+        # tile-grid order via the same traversal.
+        flat_ids = [idx for (_hw, items) in groups.items()
+                    for (idx, _t) in items]
+        pos = 0
+        for enc, lin, stats, host_list in work:
+            upds = [_enc._truncate_schedule_to_layer(h, keep_layer,
+                                                     enc.pyr, C)
+                    for h in host_list]
+            if any(u is not None for u in upds):
+                patched = {}
+                for k in ("valid", "refrun_ok", "inj_pos", "valid_sched",
+                          "nS_sched", "T"):
+                    stacked = np.asarray(stats[k]).copy()
+                    for i, u in enumerate(upds):
+                        if u is not None:
+                            stacked[i] = u[k]
+                    patched[k] = jnp.asarray(stacked)
+                stats = {**stats, **patched}
+            pls, lbs = enc.emit_batch(lin, stats)
+            for p, lb in zip(pls, lbs):
+                payloads[flat_ids[pos]] = p
+                layer_bytes[flat_ids[pos]] = lb
+                pos += 1
+    else:
+        for (hh, ww), items in groups.items():
+            enc = get_batch_encoder(ww, hh, C)
+            batch = np.stack([t for _, t in items])
+            pls, lbs = enc.encode_raw(batch)
+            for (idx, _), p, lb in zip(items, pls, lbs):
+                payloads[idx] = p
+                layer_bytes[idx] = lb
 
     lengths = np.array([len(p) for p in payloads], np.int64)
     if budget > 0:

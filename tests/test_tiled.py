@@ -131,3 +131,36 @@ def test_oversized_single_stream_routes_to_container(rng, monkeypatch):
     small = random_image(rng, 32, 48, 3, "mixed")
     assert encoder.encode(small)[:1] == b"W"
     assert encoder.encode(small)[:2] != b"WT"
+
+
+def test_tiled_budget_masking_byte_identical(rng, monkeypatch):
+    """Budget-bounded WORK on the tiled path: the conservative layer mask
+    applied before stage 2 must leave the container bytes identical to
+    the encode-lossless-then-cut path (VERDICT r4 #5/#6), while actually
+    skipping schedule work for a deep budget."""
+    from dwt_tpu.codec import encoder
+
+    img = random_image(rng, 160, 128, 3, "mixed")
+    full = tiled.encode_tiled(img, tile=(64, 64))
+    budget = len(full) // 6  # deep truncation
+
+    calls = {"masked": 0}
+    real = encoder._truncate_schedule_to_layer
+
+    def spy(h, k, pyr, C):
+        u = real(h, k, pyr, C)
+        if u is not None:
+            calls["masked"] += 1
+        return u
+
+    monkeypatch.setattr(encoder, "_truncate_schedule_to_layer", spy)
+    got = tiled.encode_tiled(img, tile=(64, 64), budget=budget)
+    assert calls["masked"] > 0  # the deep budget really skipped work
+
+    # Reference result: same path with masking disabled (pure lossless
+    # encode + allocation cut).
+    monkeypatch.setattr(encoder, "_truncate_schedule_to_layer",
+                        lambda *a: None)
+    want = tiled.encode_tiled(img, tile=(64, 64), budget=budget)
+    assert got == want
+    assert len(got) <= budget

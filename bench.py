@@ -277,6 +277,20 @@ def _decode_phases(enc, stream, img):
                   decode_inverse_s=round(inv_s, 3))
     emit()
 
+    # Truncated-mode quality at the BASELINE budget (65,536 B): our stream
+    # is byte-identical to the reference's, so the truncated decode -- and
+    # its PSNR -- matches the reference C decoder exactly (35.25 dB floor,
+    # BASELINE.md).  Measured here so the record carries the number.
+    timg, _ = decoder.decode(stream[:65536])
+    ry = (H + timg.shape[0] - 1) // timg.shape[0]
+    rx = (W + timg.shape[1] - 1) // timg.shape[1]
+    up = np.repeat(np.repeat(timg, ry, 0), rx, 1)[:H, :W]
+    mse = np.mean((up.astype(np.float64) - img) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    RESULT["truncated_64k_psnr_db"] = round(psnr, 2)
+    log(f"truncated 64 KiB decode: {psnr:.2f} dB PSNR "
+        f"(reference C at the same budget: 35.25 dB)")
+
     # Tiled decode aggregate: 32 uniform 540x480 tiles of the same image
     # (the production many-stream path — independent tile streams parse on
     # all host cores, one vmapped TPU inverse).  MP/s from threaded parse +

@@ -235,6 +235,7 @@ def main():
 
 
 def _decode_phases(enc, stream, img):
+    import jax
     import jax.numpy as jnp
 
     from dwt_tpu.codec import decoder

@@ -757,6 +757,8 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
     State carries are int8.
     """
     TB = BLOCK
+    while padded_T % TB:  # tests shrink the pack-block bucket granularity
+        TB //= 2
     nblk = padded_T // TB
     ab = _vli_ab(tok_val, tok_vli)
     if _use_engine():  # MXU transpose beats the XLA shuffle path on TPU

@@ -74,10 +74,10 @@ def dump():
     p("stage2 tokens (XLA fallback)...")
     tv, tr, tf, orders = E._stage2_tokens(lin, stats, pyr, C, padded_T)
     p("pack inputs...")
-    (nbits, nref_step, off, off_base, widx, c0, c1, c2) = \
+    (nbits, nref_step, off, refstart, widx, c0, c1, c2) = \
         E._codeword_contribs(stats, tv, tr, tf, orders, padded_T)
     nwords = E._stream_words(pyr, C, padded_T)
-    meta_b = E._kernel_b_meta(stats, segs, com, off_base, pyr, padded_T,
+    meta_b = E._kernel_b_meta(stats, segs, com, refstart, pyr, padded_T,
                               nwords)
 
     np.savez_compressed(

@@ -874,11 +874,12 @@ def _layer_boundaries(stats, off, total_bits, pyr: Pyramid, channels: int):
 
 def _codeword_contribs(stats, tok_val, tok_raw, tok_vli, orders,
                        padded_T: int):
-    """Per-token codeword bit lengths, final-stream offsets and the <=3
-    uint32 word contributions.  Shared by _pack_bits and the kernel probes
+    """Per-token codeword bit lengths, final-stream offsets, the <=3
+    uint32 word contributions, and each step's first-refinement-bit
+    position.  Shared by _pack_bits and the kernel probes
     (benchmarks/probe_kperf.py) so they can never desynchronize.
 
-    Returns (nbits, nref_step, off, off_base, widx, c0, c1, c2)."""
+    Returns (nbits, nref_step, off, refstart, widx, c0, c1, c2)."""
     s = orders
     k = jnp.where(tok_vli, _vli_k(tok_val, s), 0)
     nbits = jnp.where(tok_vli, 2 * k + s + 1, tok_raw)
@@ -894,16 +895,32 @@ def _codeword_contribs(stats, tok_val, tok_raw, tok_vli, orders,
     lo = jnp.where(tok_vli, lo_vli, tok_val.astype(jnp.uint32))
     hi = jnp.where(tok_vli, hi_vli, 0)
 
-    # int32 bit offsets: single streams stay < 2^31 bits (256 MB); the tiled
-    # container is the path for anything larger.
-    off_base = _excl_cumsum(nbits, axis=0)
-    # Ref-bit injection: each step's nRef raw bits land after the step's
-    # compact tokens — add them into every later token's offset.
+    # int32 bit offsets: single streams stay < 2^31 bits (256 MB); the
+    # tiled container is the path for anything larger.  Ref-bit injection:
+    # each step's nRef raw bits land after the step's compact tokens.  ONE
+    # inclusive cumsum serves every consumer (a 31M-token cumsum costs
+    # ~6.4 ms on v5e; the old excl_cumsum(nbits) + cumsum(inject) pair
+    # paid it twice):
+    #   token offset off[t] = incl[t] - nbits[t]
+    #     (= token bits before t + injections at sites <= t, the old
+    #      off_base + cumsum(inject) exactly), and
+    #   refstart[s] = off[end_s] - (injections at sites <= end_s)
+    #                 + refpfx[s],
+    # where the injection correction is a PER-STEP sum over the tiny
+    # (S, S) schedule grid — no second token-length cumsum.
     nref_step = jnp.where(stats["valid"], stats["nRef"], 0).reshape(-1)
+    inj_site = jnp.clip(stats["inj_pos"].reshape(-1), 0, padded_T)
     inject = jnp.zeros(padded_T + 1, jnp.int32).at[
-        jnp.clip(stats["inj_pos"].reshape(-1), 0, padded_T)
-    ].add(nref_step)[:padded_T]
-    off = off_base + jnp.cumsum(inject)
+        inj_site].add(nref_step)[:padded_T]
+    incl = jnp.cumsum(nbits + inject)
+    off = incl - nbits
+    end_idx = jnp.clip(stats["step_end"], 0, padded_T - 1).reshape(-1)
+    inj_le_end = jnp.sum(
+        jnp.where(inj_site[None, :] <= end_idx[:, None],
+                  nref_step[None, :], 0), axis=1, dtype=jnp.int32)
+    refstart = (off[end_idx] - inj_le_end
+                + stats["refpfx"].reshape(-1)).astype(
+                    jnp.int32).reshape(stats["refpfx"].shape)
 
     widx = off >> 5
     sh = (off & 31).astype(jnp.uint32)
@@ -911,7 +928,7 @@ def _codeword_contribs(stats, tok_val, tok_raw, tok_vli, orders,
     c0 = lo << sh
     c1 = ((lo >> 1) >> shc) | (hi << sh)
     c2 = (hi >> 1) >> shc
-    return nbits, nref_step, off, off_base, widx, c0, c1, c2
+    return nbits, nref_step, off, refstart, widx, c0, c1, c2
 
 
 def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
@@ -928,7 +945,7 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     otherwise).
     """
     C = channels
-    nbits, nref_step, off, off_base, widx, c0, c1, c2 = _codeword_contribs(
+    nbits, nref_step, off, refstart, widx, c0, c1, c2 = _codeword_contribs(
         stats, tok_val, tok_raw, tok_vli, orders, padded_T)
     # nwords covers the worst-case stream plus slack for the Pallas window
     # and one spare dump slot for masked ref-bit scatters (_stream_words).
@@ -978,7 +995,7 @@ def _pack_bits(lin, stats, tok_val, tok_raw, tok_vli, orders,
     # this keeps the package x64-free — the process-global jax_enable_x64
     # flip is gone, VERDICT r4 weak #8).
     bits_parts = _bit_partials(nbits, nref_step)
-    return words, bits_parts, wild_overflow, off, off_base
+    return words, bits_parts, wild_overflow, off, refstart
 
 
 def _bit_partials(nbits, nref_step):
@@ -999,18 +1016,11 @@ def _bit_partials(nbits, nref_step):
     return jnp.concatenate([tok_parts, ref_parts])
 
 
-def _refstart(stats, off_base, pyr: Pyramid, padded_T: int):
-    """(C, L, PMAX) final-stream bit position of each step's first
-    refinement bit: token bits before the step's end + refinement bits of
-    earlier steps (raw bits, no coder state — encode.c:84-93)."""
-    end_idx = jnp.clip(stats["step_end"], 0, padded_T - 1)
-    return off_base[end_idx] + stats["refpfx"]
-
-
-def _kernel_b_meta(stats, segs: _Segs, com, off_base, pyr: Pyramid,
+def _kernel_b_meta(stats, segs: _Segs, com, refstart, pyr: Pyramid,
                    padded_T: int, nwords: int):
     """Per-unit metadata for refinement-bit kernel B (shared with the
-    kernel probes, see _kernel_a_meta)."""
+    kernel probes, see _kernel_a_meta).  ``refstart``: (C, L, PMAX) first
+    refinement-bit stream positions from _codeword_contribs."""
     from ..ops import pallas_compact as pc
 
     p_ix = jnp.arange(PMAX, dtype=jnp.int32)[None, None, :]
@@ -1018,8 +1028,8 @@ def _kernel_b_meta(stats, segs: _Segs, com, off_base, pyr: Pyramid,
     nR_ck = jnp.where(p_ix < stats["planes_max"],
                       vc - stats["nS_ck"] - stats["nZ_ck"], 0)
     rcar = segs.level_excl_cumsum(nR_ck)
-    refstart = _refstart(stats, off_base, pyr, padded_T).reshape(-1)
-    u_bit0 = refstart[com["flat_step"]] + rcar.reshape(-1)[com["flat_ck"]]
+    u_bit0 = (refstart.reshape(-1)[com["flat_step"]]
+              + rcar.reshape(-1)[com["flat_ck"]])
     nR_u = nR_ck.reshape(-1)[com["flat_ck"]]
     # Floor-align the clip bound: see _kernel_a_meta (the kernel's
     # pl.multiple_of window promise must hold even when clamped).
@@ -1033,29 +1043,27 @@ def _kernel_b_meta(stats, segs: _Segs, com, off_base, pyr: Pyramid,
     ], axis=1).astype(jnp.int32)
 
 
-def _ref_bits_pallas(words, off_base, vmag, com, stats, pyr: Pyramid,
+def _ref_bits_pallas(words, refstart, vmag, com, stats, pyr: Pyramid,
                      channels: int, padded_T: int):
     """Kernel-B path: OR refinement bits straight into the stream words."""
     from ..ops import pallas_compact as pc
 
     segs = _Segs(pyr)
-    meta = _kernel_b_meta(stats, segs, com, off_base, pyr, padded_T,
+    meta = _kernel_b_meta(stats, segs, com, refstart, pyr, padded_T,
                           words.shape[0])
     out = pc.scatter_refbits_pallas(vmag, meta, words.reshape(1, -1))
     return out.reshape(-1)
 
 
-def _pack_ref_bits(words, off_base, lin, stats, pyr: Pyramid, channels: int):
+def _pack_ref_bits(words, refstart, lin, stats, pyr: Pyramid, channels: int):
     """Scatter every refinement bit directly into the stream words.
 
     Bit position of the j-th refined coefficient (position order) of step
-    (c, l, p) is refstart + j, where refstart = off_base[step_end] +
-    refpfx — no tokens, no VLI state involved (they are raw bits,
-    encode.c:84-93).
+    (c, l, p) is refstart + j — no tokens, no VLI state involved (they
+    are raw bits, encode.c:84-93).
     """
     segs = _Segs(pyr)
     q, mag, _, valid = _detail_q(lin, segs)
-    refstart = _refstart(stats, off_base, pyr, off_base.shape[0])
     DUMPW = words.shape[0] - 1
 
     def body(p, words):
@@ -1114,17 +1122,17 @@ def _stage2_emit(lin, stats, tv, tr, tf, orders, pyr: Pyramid,
     C = channels
     nwords = _stream_words(pyr, C, padded_T)
     use_pallas = _seg_pallas_ok(pyr, padded_T)
-    words, bits_parts, wild, off, off_base = _pack_bits(
+    words, bits_parts, wild, off, refstart = _pack_bits(
         lin, stats, tv, tr, tf, orders, pyr, C, padded_T, nwords,
         xla_pack=xla_pack)
     if use_pallas:
         segs = _Segs(pyr)
         vmag = _packed_elems(lin, segs)
         com = _unit_common(stats, segs, pyr, C)
-        words = _ref_bits_pallas(words, off_base, vmag, com, stats, pyr, C,
+        words = _ref_bits_pallas(words, refstart, vmag, com, stats, pyr, C,
                                  padded_T)
     else:
-        words = _pack_ref_bits(words, off_base, lin, stats, pyr, C)
+        words = _pack_ref_bits(words, refstart, lin, stats, pyr, C)
     # int32 device total: exact for valid (< 2^31-bit) streams; hosts
     # validate the Python-int total of bits_parts before trusting ends.
     tot32 = jnp.sum(bits_parts, dtype=jnp.int32)

@@ -255,53 +255,157 @@ int decode_plane(RleReader* rle, int32_t* val, int64_t num, int plane,
   // get_rle/counter semantics (rle.h:66-77): reading run R makes the
   // current position zero #1 of R, and position (cursor + R) significant;
   // a pending counter c makes position (cursor + c - 1) significant.
-  int64_t remaining = cs->insig_count;
-  size_t wi = 0;
-  uint64_t cur = remaining ? cs->insig[0] : 0;  // word wi, consumed bits cleared
-  while (remaining > 0) {
-    int64_t skip;  // insignificant positions skipped before the 1-bit
-    if (rle->cnt == 0) {
-      int64_t r = rle->vli->get();
-      if (r < 0) return -1;
-      if (r >= remaining) {
-        rle->cnt = r - remaining + 1;
-        break;
+  //
+  // The whole pass runs on LOCAL copies of the bit/VLI/RLE state (the
+  // pointer-chained originals defeat register allocation across the
+  // per-symbol loop — measured ~74% of a 4K parse lives here); state
+  // syncs back on every exit.
+  {
+    BitReader* br = rle->vli->bits;
+    const uint8_t* data = br->data;
+    const int64_t nbytes = br->nbytes;
+    uint64_t acc = br->acc;
+    int navail = br->navail;
+    int64_t bpos = br->pos;
+    int order = rle->vli->order;
+    int64_t rcnt = rle->cnt;
+    if (br->fail) return -1;
+
+    auto sync = [&]() {
+      br->acc = acc;
+      br->navail = navail;
+      br->pos = bpos;
+      rle->vli->order = order;
+      rle->cnt = rcnt;
+    };
+    auto refill = [&]() {
+      if (navail <= 56 && bpos + 8 <= nbytes) {
+        uint64_t w;
+        std::memcpy(&w, data + bpos, 8);
+        int take = (64 - navail) >> 3;
+        if (take < 8) w &= (1ull << (take << 3)) - 1;
+        acc |= w << navail;
+        bpos += take;
+        navail += take << 3;
+        return;
       }
-      skip = r;
-    } else {
-      if (rle->cnt > remaining) {
-        rle->cnt -= remaining;
-        break;
+      while (navail <= 56 && bpos < nbytes) {
+        acc |= static_cast<uint64_t>(data[bpos++]) << navail;
+        navail += 8;
       }
-      skip = rle->cnt - 1;
-      rle->cnt = 0;
+    };
+    // Adaptive VLI get (see VliReader::get); -1 = EOF/corrupt, with
+    // br->fail set exactly where the member version would set it.
+    auto vget = [&]() -> int64_t {
+      int64_t sum = 0;
+      for (;;) {
+        if (navail == 0) {
+          refill();
+          if (navail == 0) {
+            br->fail = true;
+            return -1;
+          }
+        }
+        if (acc != 0) {
+          int z = __builtin_ctzll(acc);
+          if (order + z > 48) return -1;
+          sum += ((1ll << z) - 1) << order;
+          order += z;
+          acc >>= z + 1;
+          navail -= z + 1;
+          break;
+        }
+        int n = navail;
+        if (order + n > 48) return -1;
+        sum += ((1ll << n) - 1) << order;
+        order += n;
+        acc = 0;
+        navail = 0;
+      }
+      if (navail < order) refill();
+      int64_t v;
+      if (navail >= order) {
+        v = static_cast<int64_t>(acc & ((1ull << order) - 1));
+        acc >>= order;
+        navail -= order;
+      } else {
+        v = 0;
+        for (int i = 0; i < order; ++i) {
+          if (navail == 0) {
+            refill();
+            if (navail == 0) {
+              br->fail = true;
+              return -1;
+            }
+          }
+          v |= static_cast<int64_t>(acc & 1) << i;
+          acc >>= 1;
+          navail -= 1;
+        }
+      }
+      order -= 2;
+      if (order < 0) order = 0;
+      return v + sum;
+    };
+
+    int64_t remaining = cs->insig_count;
+    size_t wi = 0;
+    uint64_t cur = remaining ? cs->insig[0] : 0;  // word wi, consumed
+    while (remaining > 0) {                       // bits cleared
+      int64_t skip;  // insignificant positions skipped before the 1-bit
+      if (rcnt == 0) {
+        int64_t r = vget();
+        if (r < 0) {
+          sync();
+          return -1;
+        }
+        if (r >= remaining) {
+          rcnt = r - remaining + 1;
+          break;
+        }
+        skip = r;
+      } else {
+        if (rcnt > remaining) {
+          rcnt -= remaining;
+          break;
+        }
+        skip = rcnt - 1;
+        rcnt = 0;
+      }
+      // Advance `skip` set bits; the next one becomes significant.
+      remaining -= skip + 1;
+      for (;;) {
+        int pc = __builtin_popcountll(cur);
+        if (skip < pc) break;
+        skip -= pc;
+        cur = cs->insig[++wi];
+      }
+      int b = select_bit(cur, static_cast<int>(skip));
+      cur = (b == 63) ? 0 : (cur & ~((2ull << b) - 1));
+      int64_t pos = static_cast<int64_t>(wi) * 64 + b;
+      if (navail == 0) {
+        refill();
+        if (navail == 0) {
+          // The reference writes the significance bit BEFORE reading the
+          // sign (decode.c:79-83) — on EOF at the sign read the bit must
+          // survive (partial-truncation parity).
+          val[pos] = static_cast<int32_t>(static_cast<uint32_t>(val[pos]) |
+                                          bit_mask);
+          br->fail = true;
+          sync();
+          return -1;
+        }
+      }
+      uint32_t s = static_cast<uint32_t>(acc & 1);
+      acc >>= 1;
+      navail -= 1;
+      val[pos] = static_cast<int32_t>(
+          static_cast<uint32_t>(val[pos]) | bit_mask |
+          (s << kSgnBit) | kSigMask);
+      cs->newly[wi] |= 1ull << b;
+      newly_any = true;
     }
-    // Advance `skip` set bits; the next one becomes significant.
-    remaining -= skip + 1;
-    for (;;) {
-      int pc = __builtin_popcountll(cur);
-      if (skip < pc) break;
-      skip -= pc;
-      cur = cs->insig[++wi];
-    }
-    int b = select_bit(cur, static_cast<int>(skip));
-    cur = (b == 63) ? 0 : (cur & ~((2ull << b) - 1));
-    int64_t pos = static_cast<int64_t>(wi) * 64 + b;
-    int s = rle->vli->bits->get_bit();
-    if (s < 0) {
-      // The reference writes the significance bit BEFORE reading the sign
-      // (decode.c:79-83) — on EOF at the sign read the bit must survive
-      // (partial-truncation parity).  Only this cold path needs the
-      // separate store; the hot path below merges both writes.
-      val[pos] =
-          static_cast<int32_t>(static_cast<uint32_t>(val[pos]) | bit_mask);
-      return -1;
-    }
-    val[pos] = static_cast<int32_t>(
-        static_cast<uint32_t>(val[pos]) | bit_mask |
-        (static_cast<uint32_t>(s) << kSgnBit) | kSigMask);
-    cs->newly[wi] |= 1ull << b;
-    newly_any = true;
+    sync();
   }
 
   // Refinement pass over previously-significant positions (position

@@ -174,7 +174,32 @@ def main():
 
     cs, tb = full(lin, stats)
     int(cs), int(tb)
-    log(f"warmup/compile: {time.time()-t0:.1f}s  T={T}")
+    log(f"warmup/compile (split): {time.time()-t0:.1f}s  T={T}")
+
+    # Steady-state configuration: the stage-2 monolith with the checksum
+    # consumed INSIDE one program — a production deployment at fixed
+    # geometry compiles this once and saves the inter-program boundary
+    # (re-materialized token arrays, duplicated segment/meta prep that
+    # XLA CSEs away when fused).  The split halves above stay as the
+    # compile-latency path and the fallback if this compile fails.
+    t1 = time.time()
+    try:
+        pyr, Cc = enc.pyr, 3
+        bucket = encoder._bucket(T)
+
+        @jax.jit
+        def fused(lin, stats):
+            w, p, _wild, _ends = encoder._stage2_pipeline(
+                lin, stats, pyr=pyr, channels=Cc, padded_T=bucket)
+            return (jnp.sum(w, dtype=jnp.uint32),
+                    jnp.sum(p, dtype=jnp.int32))
+
+        cs, tb = fused(lin, stats)
+        int(cs), int(tb)
+        full = fused
+        log(f"warmup/compile (fused stage-2): {time.time()-t1:.1f}s")
+    except Exception as e:  # noqa: BLE001 — keep the split path
+        log(f"fused stage-2 unavailable ({e!r}); timing the split path")
     # Pre-compile the batch combiner at the timed region's width.
     N_FRAMES = 8
     comb = jax.jit(lambda cs, tb: (jnp.sum(jnp.stack(cs), dtype=jnp.uint32),

@@ -761,12 +761,11 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
         TB //= 2
     nblk = padded_T // TB
     ab = _vli_ab(tok_val, tok_vli)
-    if _use_engine():  # MXU transpose beats the XLA shuffle path on TPU
-        from ..ops.pallas_transpose import transpose2d as _tr
-    else:
-        def _tr(m):
-            return m.T
-    ab_b = _tr(ab.reshape(nblk, TB))  # (TB, nblk): one transpose in
+    # Plain XLA transposes: as of jax 0.9 they measure equal to the MXU
+    # byte-plane kernel (3.6 vs 3.7 ms at 4K — ops/pallas_transpose.py
+    # documents the technique), and they vmap cleanly (the batched encode
+    # paths put the batch axis mid-array where a pallas block spec can't).
+    ab_b = ab.reshape(nblk, TB).T  # (TB, nblk): one transpose in
 
     def apply1(s, x):
         """One token's transition from the +1-biased (a | b<<5) params;
@@ -807,7 +806,7 @@ def _vli_orders(tok_val, tok_vli, padded_T: int):
 
     _, orders = jax.lax.scan(stepC, entry[:, None], ab_b,
                              unroll=_VLI_UNROLL)
-    return _tr(orders).reshape(padded_T).astype(jnp.int32)
+    return orders.T.reshape(padded_T).astype(jnp.int32)
 
 
 def _use_pallas() -> bool:

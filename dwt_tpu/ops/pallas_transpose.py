@@ -1,13 +1,14 @@
 """Pallas TPU 2-D transpose via MXU identity matmuls.
 
-XLA's transpose of large scan-major layouts runs shuffle-bound at ~29 ms
-per 33.5M int32 on a v5e, independent of dtype (benchmarks/probe_trans.py).
-The MXU gives a cheaper path: a (TR, TC) tile contracted with a constant
-identity over its row axis IS the transposed tile, and s8 x s8 -> s32
-matmuls are exact per byte — so int32 tiles transpose as four byte planes
-((acc & 0xFF) << 8k recombine) and int8 tiles in a single matmul.  Used by
-the VLI order scan (codec/encoder.py::_vli_orders), whose cost is
-otherwise ~85% layout transposes.
+XLA's transpose of large scan-major layouts ran shuffle-bound at ~29 ms
+per 33.5M int32 on a v5e when this was written (round 2); the MXU path
+here — a (TR, TC) tile contracted with a constant identity over its row
+axis IS the transposed tile, s8 x s8 -> s32 exact per byte plane — cut
+that ~4x.  As of jax 0.9 XLA's own transpose has caught up (3.6 vs
+3.7 ms at the VLI scan's shapes, round-5 measurement), and plain .T also
+vmaps cleanly where a pallas block spec cannot (batch axis mid-array), so
+the production encoder no longer calls this; the module stays as the
+documented technique with its tests.
 
 The grid walks (TR, TC) input tiles; tile (i, j) writes output tile
 (j, i).  Both dims must be multiples of the tile sizes — callers pad

@@ -187,13 +187,14 @@ def main():
         pyr, Cc = enc.pyr, 3
         bucket = encoder._bucket(T)
 
-        @jax.jit
-        def fused(lin, stats):
+        def _fused(lin, stats):
             w, p, _wild, _ends = encoder._stage2_pipeline(
                 lin, stats, pyr=pyr, channels=Cc, padded_T=bucket)
             return (jnp.sum(w, dtype=jnp.uint32),
                     jnp.sum(p, dtype=jnp.int32))
 
+        fused = cache.aot_cached(
+            _fused, f"bench-fused-{W}x{H}-t{bucket}-", (lin, stats))
         cs, tb = fused(lin, stats)
         int(cs), int(tb)
         full = fused

@@ -1157,36 +1157,54 @@ def _stage2_pipeline(lin, stats, pyr: Pyramid, channels: int, padded_T: int):
     return _stage2_emit(lin, stats, tv, tr, tf, orders, pyr, C, padded_T)
 
 
-def compose_stage2(fa, fb):
+def compose_stage2(fa, fb, tag: str = ""):
     """Compose the two stage-2 halves (callables with _stage2_tokens /
     _stage2_emit signatures — optionally vmapped or shard_mapped) into one
     (lin, stats) -> (words, bits_parts, wild, layer_ends) function over TWO
-    independently-jitted programs.  The first invocation compiles both
-    halves CONCURRENTLY from two threads (the emit half is lowered against
-    eval_shape results, no execution needed) — cold start pays ~max of the
-    halves instead of the fused monolith's sum."""
-    ja, jb = jax.jit(fa), jax.jit(fb)
-    state = {"warm": False}
+    independently-compiled programs.  The first invocation compiles both
+    halves CONCURRENTLY from two threads (the emit half lowers against
+    eval_shape placeholders, no execution needed) — cold start pays ~max
+    of the halves instead of the fused monolith's sum — and each half
+    goes through the explicit executable store (runtime.cache.aot_cached,
+    keyed by package source + geometry, immune to the relay backend's
+    per-session XLA cache-key drift)."""
+    from ..runtime.cache import aot_cached
+
+    state = {}
 
     def run(lin, stats):
-        if not state["warm"]:
-            state["warm"] = True
+        if "ca" not in state:
+            import concurrent.futures as cf
+
+            mid = jax.eval_shape(fa, lin, stats)
             try:
-                import concurrent.futures as cf
-
-                mid = jax.eval_shape(fa, lin, stats)
                 with cf.ThreadPoolExecutor(2) as ex:
-                    fa_c = ex.submit(lambda: ja.lower(lin, stats).compile())
-                    fb_c = ex.submit(
-                        lambda: jb.lower(lin, stats, *mid).compile())
-                    fa_c.result()
-                    fb_c.result()
-            except Exception:  # pragma: no cover — warm is
-                pass           # best-effort; the calls compile
-        tv, tr, tf, orders = ja(lin, stats)
-        return jb(lin, stats, tv, tr, tf, orders)
+                    fa_c = ex.submit(aot_cached, fa, f"{tag}tokens",
+                                     (lin, stats))
+                    fb_c = ex.submit(aot_cached, fb, f"{tag}emit",
+                                     (lin, stats), tuple(mid))
+                    state["ca"] = fa_c.result()
+                    state["cb"] = fb_c.result()
+            except Exception:  # pragma: no cover — e.g. a backend that
+                state["ca"] = jax.jit(fa)   # rejects AOT serialization;
+                state["cb"] = jax.jit(fb)   # plain jits still work
+        if not state.get("validated"):
+            # A stored executable can deserialize yet fail at DISPATCH
+            # (observed on XLA:CPU); the first call must degrade to plain
+            # jits, not take down the encode.
+            try:
+                tv, tr, tf, orders = state["ca"](lin, stats)
+                out = state["cb"](lin, stats, tv, tr, tf, orders)
+                jax.block_until_ready(out)
+                state["validated"] = True
+                return out
+            except Exception:  # noqa: BLE001
+                state["ca"], state["cb"] = jax.jit(fa), jax.jit(fb)
+                state["validated"] = True
+        tv, tr, tf, orders = state["ca"](lin, stats)
+        return state["cb"](lin, stats, tv, tr, tf, orders)
 
-    run._parts = (ja, jb)
+    run._state = state
     return run
 
 
@@ -1408,9 +1426,29 @@ class Encoder:
         self._perm = jax.device_put(jnp.asarray(perm_np))
         pyr, C, gray = self.pyr, channels, self.gray
 
-        @jax.jit
-        def stage1(img, perm):
+        def stage1_fn(img, perm):
             return _transform_and_stats(img, pyr, C, gray, perm)
+
+        state = {}
+
+        def stage1(img, perm):
+            # Compiled through the explicit executable store on first use
+            # (runtime.cache.aot_cached): immune to the relay backend's
+            # per-session XLA cache-key drift.  First call degrades to a
+            # plain jit if a stored executable fails at dispatch.
+            if "c" not in state:
+                from ..runtime.cache import aot_cached
+
+                try:
+                    state["c"] = aot_cached(
+                        stage1_fn,
+                        f"stage1-{pyr.width}x{pyr.height}c{C}-", (img, perm))
+                    out = state["c"](img, perm)
+                    jax.block_until_ready(out)
+                    return out
+                except Exception:  # pragma: no cover
+                    state["c"] = jax.jit(stage1_fn)
+            return state["c"](img, perm)
 
         self._stage1 = stage1
         self._stage2 = {}
@@ -1431,7 +1469,9 @@ class Encoder:
                 functools.partial(_stage2_tokens, pyr=pyr, channels=C,
                                   padded_T=padded_T),
                 functools.partial(_stage2_emit, pyr=pyr, channels=C,
-                                  padded_T=padded_T, xla_pack=xla_pack))
+                                  padded_T=padded_T, xla_pack=xla_pack),
+                tag=(f"enc{pyr.width}x{pyr.height}c{C}-t{padded_T}"
+                     f"{'-xlapack' if xla_pack else ''}-"))
         return fn
 
     def header(self) -> bytes:

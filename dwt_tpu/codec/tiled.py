@@ -81,7 +81,9 @@ class BatchEncoder:
                 _stage2_tokens, pyr=pyr, channels=C, padded_T=padded_T))
             fb = jax.vmap(functools.partial(
                 _stage2_emit, pyr=pyr, channels=C, padded_T=padded_T))
-            self._stage2[padded_T] = fn = compose_stage2(fa, fb)
+            self._stage2[padded_T] = fn = compose_stage2(
+                fa, fb,
+                tag=f"batch{pyr.width}x{pyr.height}c{C}-t{padded_T}-")
         return fn
 
     def header(self) -> bytes:

@@ -125,7 +125,9 @@ class ShardedEncoder:
                 functools.partial(_stage2_tokens, pyr=pyr, channels=C,
                                   padded_T=padded_T),
                 functools.partial(_stage2_emit, pyr=pyr, channels=C,
-                                  padded_T=padded_T))
+                                  padded_T=padded_T),
+                tag=(f"shard{self.mesh.devices.size}-"
+                     f"{pyr.width}x{pyr.height}c{C}-t{padded_T}-"))
         words, bits_parts, wild, _ = fn(lin, stats)
         total_bits = _check_stream_bits(_total_bits_host(bits_parts),
                                         bool(int(wild)))
@@ -268,7 +270,8 @@ def _tiled_stage2_step(mesh: Mesh, hh: int, ww: int, C: int, padded_T: int,
                               P(axis_name), P(axis_name), P(axis_name)),
                     out_specs=(P(axis_name), P(axis_name), P(axis_name),
                                P(None)))
-    return compose_stage2(fa, fb)
+    return compose_stage2(
+        fa, fb, tag=f"tilesh{mesh.devices.size}-{ww}x{hh}c{C}-t{padded_T}-")
 
 
 def encode_tiled_sharded(img: np.ndarray, mesh: Mesh,

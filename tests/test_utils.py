@@ -62,3 +62,23 @@ def test_device_trace_produces_files(tmp_path):
     with device_trace(str(tmp_path)):
         int(jnp.sum(jnp.arange(16)))
     assert any(tmp_path.rglob("*"))
+
+
+def test_aot_cached_cpu_is_plain_jit(tmp_path, monkeypatch):
+    """On CPU the executable store must stay out of the way (XLA:CPU
+    deserialization fails at dispatch) — aot_cached returns a working
+    callable and writes no blobs."""
+    import jax.numpy as jnp
+
+    from dwt_tpu.runtime import cache
+
+    fn = cache.aot_cached(lambda x: jnp.sum(x * 2), "test-cpu-",
+                          (jnp.arange(16, dtype=jnp.int32),))
+    assert int(fn(jnp.arange(16, dtype=jnp.int32))) == 240
+    import glob
+    import os
+
+    pkg_repo = os.path.dirname(os.path.dirname(
+        os.path.abspath(cache.__file__)))
+    assert not glob.glob(os.path.join(os.path.dirname(pkg_repo),
+                                      "warmcache", "*-exec", "test-cpu-*"))

@@ -73,15 +73,19 @@ def _default() -> str:
 def _package_fingerprint() -> str:
     """sha256 over every .py source of the package (sorted): ANY code edit
     invalidates stored executables — conservative and exactly right for a
-    persistent artifact."""
+    persistent artifact.  This module itself is excluded: the store's own
+    plumbing never changes traced programs, and including it would
+    invalidate every blob on a cache-layer edit."""
     import hashlib
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    me = os.path.abspath(__file__)
     h = hashlib.sha256()
     for root, _dirs, files in sorted(os.walk(pkg)):
         for f in sorted(files):
-            if f.endswith(".py"):
-                with open(os.path.join(root, f), "rb") as fh:
+            p = os.path.join(root, f)
+            if f.endswith(".py") and os.path.abspath(p) != me:
+                with open(p, "rb") as fh:
                     h.update(f.encode())
                     h.update(fh.read())
     return h.hexdigest()[:16]
@@ -147,10 +151,15 @@ def aot_cached(fn, tag: str, args, shapes=()):
     from jax.experimental.serialize_executable import (deserialize_and_load,
                                                        serialize)
 
+    MAGIC_Z = b"DWTZ"  # zlib-compressed blob marker (raw blobs lack it)
     if os.path.exists(blob_p) and os.path.exists(tree_p):
         try:
+            import zlib
+
             with open(blob_p, "rb") as f:
                 blob = f.read()
+            if blob[:4] == MAGIC_Z:
+                blob = zlib.decompress(blob[4:])
             with open(tree_p, "rb") as f:
                 in_tree, out_tree = pickle.load(f)
             return deserialize_and_load(blob, in_tree, out_tree)
@@ -158,11 +167,13 @@ def aot_cached(fn, tag: str, args, shapes=()):
             pass
     compiled = jitted.lower(*lower_args).compile()
     try:
+        import zlib
+
         os.makedirs(exec_dir, exist_ok=True)
         blob, in_tree, out_tree = serialize(compiled)
         tmp = blob_p + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(blob)
+            f.write(MAGIC_Z + zlib.compress(blob, 6))
         os.replace(tmp, blob_p)
         with open(tree_p + ".tmp", "wb") as f:
             pickle.dump((in_tree, out_tree), f)

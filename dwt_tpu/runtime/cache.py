@@ -131,6 +131,16 @@ def aot_cached(fn, tag: str, args, shapes=()):
     # keys drift per session) and advertises SerializedExecutable support.
     if jax.devices()[0].platform != "tpu":
         return jitted
+    # Kernel-gate envs change the traced program but are not part of the
+    # store key; a gated fallback rung (bench triage, selftest configs)
+    # must not be served the default-config executable.  Gated processes
+    # skip the store (they are rare triage paths; the classic in-session
+    # cache still serves them).
+    if any(os.environ.get(k) == "1" for k in
+           ("DWT_NO_PALLAS", "DWT_NO_ENGINE", "DWT_NO_MXURANK",
+            "DWT_STATS_LOOP")) or os.environ.get("DWT_VLI_BLOCK") \
+            or os.environ.get("DWT_VLI_UNROLL"):
+        return jitted
     lower_args = tuple(args) + tuple(shapes)
     if base is None or os.environ.get("DWT_NO_COMPILE_CACHE") == "1":
         return jitted.lower(*lower_args).compile()
